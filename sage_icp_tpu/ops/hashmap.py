@@ -1,0 +1,348 @@
+"""Semantic voxel-hash local map as a fixed-capacity open-addressing table
+in device arrays — the TPU-native replacement for the reference's
+tsl::robin_map<Voxel, VoxelBlock> (cpp/sage_icp/core/VoxelHashMap.{hpp,cpp}).
+
+Design
+------
+The reference is a pointer-world hash map mutated point-by-point under TBB.
+Here the map is three dense arrays:
+
+    keys:   int32[C, 3]   voxel coordinate of each slot
+    counts: int32[C]      live points in the slot's block (0 = free)
+    points: f32[C, K, 4]  the block buffer (xyz + label), K = basic+critical
+
+Collision handling is bounded linear probing with probe depth D: a voxel
+with hash h may live in any slot [h, h+D) mod C. Lookups always inspect all
+D candidate slots (vectorized gather + compare), so slot reuse after culling
+("tombstones") requires no special casing: any slot with count == 0 is
+claimable, and a probe window is never early-terminated.
+
+Parallel insertion resolves claim races GPU-hash-map style: each round,
+every unresolved new voxel scatter-mins its id into a claim array at its
+current probe slot, gathers back to see who won, and losers advance to the
+next probe offset. All shapes static; overflowing voxels/points are
+dropped (counted in stats).
+
+Reproduced reference semantics:
+  * spatial hash (x*73856093 ^ y*19349663 ^ z*83492791) & (C-1)
+    (VoxelHashMap.hpp:72-77 — the reference masks to 2^20 regardless of
+    robin_map's own capacity; we mask to our table capacity)
+  * voxel coord = static_cast<int>(p / voxel_size): truncation toward zero
+    (VoxelHashMap.cpp:52-54,165)
+  * VoxelBlock::AddPoint basic/critical/label-0 retention policy
+    (VoxelHashMap.hpp:45-70):
+      - count < basic            -> append
+      - label == 0               -> drop
+      - label in basic_labels    -> overwrite first stored label-0 point
+      - else (critical class)    -> append while count < basic+critical,
+                                    else overwrite first label-0 point
+  * RemovePointsFarFromLocation: a block is erased iff its FIRST point is
+    farther than max_distance from the origin (VoxelHashMap.cpp:176-184)
+  * GetCorrespondences: brute-force nearest point over the 3^3 = 27
+    neighboring voxels; squared distance is scaled by sem_th iff labels
+    match or either label is 0 (argmin on the scaled metric), acceptance
+    tests the UNWEIGHTED distance < max_correspondence_distance
+    (VoxelHashMap.cpp:48-130, the :88/:111 subtlety)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sage_icp_tpu.ops.scan import INVALID_COORD, trunc_div
+
+# Probe depth for bounded linear probing. With capacity >= 2x expected live
+# voxels, the probability of a probe-window overflow is negligible.
+DEFAULT_PROBE_DEPTH = 16
+
+
+class MapState(NamedTuple):
+    """Fixed-capacity semantic voxel map. All leaves are device arrays."""
+
+    keys: jax.Array  # int32[C, 3]
+    counts: jax.Array  # int32[C]
+    points: jax.Array  # f32[C, K, 4]
+
+    @property
+    def capacity(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def points_per_voxel(self) -> int:
+        return self.points.shape[1]
+
+
+def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    return MapState(
+        keys=jnp.zeros((capacity, 3), dtype=jnp.int32),
+        counts=jnp.zeros((capacity,), dtype=jnp.int32),
+        points=jnp.full((capacity, points_per_voxel, 4), INVALID_COORD, dtype=dtype),
+    )
+
+
+def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
+    """Reference spatial hash (VoxelHashMap.hpp:72-77), masked to capacity."""
+    k = keys.astype(jnp.uint32)
+    h = (
+        k[..., 0] * jnp.uint32(73856093)
+        ^ k[..., 1] * jnp.uint32(19349663)
+        ^ k[..., 2] * jnp.uint32(83492791)
+    )
+    return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+def lookup(
+    state: MapState, query_keys: jax.Array, probe_depth: int = DEFAULT_PROBE_DEPTH
+) -> jax.Array:
+    """Find slots of voxel keys. query_keys: int32[..., 3] -> int32[...]
+    slot index, or -1 when absent. Inspects all D probe slots at once."""
+    cap = state.capacity
+    h = hash_keys(query_keys, cap)  # (...,)
+    offs = jnp.arange(probe_depth, dtype=jnp.int32)
+    slots = (h[..., None] + offs) & (cap - 1)  # (..., D)
+    cand = state.keys[slots]  # (..., D, 3)
+    match = jnp.all(cand == query_keys[..., None, :], axis=-1)  # (..., D)
+    # a free slot (count 0) with a stale matching key is still "the" slot
+    # for that key: reusing it keeps at most one copy of each key alive.
+    any_match = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    return jnp.where(any_match, slot, -1)
+
+
+def _unique_voxels_of_points(
+    points: jax.Array, valid: jax.Array, voxel_size
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort points by voxel, find segment heads.
+
+    Returns (order, voxel_keys_sorted (N,3), head (N,) bool, in_rank (N,))
+    where in_rank is each sorted point's arrival rank within its voxel
+    (preserves scan order — the retention policy is order-sensitive)."""
+    n = points.shape[0]
+    v = trunc_div(points[:, :3], voxel_size)  # (N, 3)
+    # Offset to a frame-local box so coords pack into sortable uint32 pairs.
+    vmin = jnp.min(jnp.where(valid[:, None], v, 2**20), axis=0)
+    vo = jnp.clip(v - vmin, 0, 4095)  # 12 bits/axis within a frame
+    key_hi = vo[:, 0].astype(jnp.uint32)
+    key_lo = vo[:, 1].astype(jnp.uint32) * jnp.uint32(4096) + vo[:, 2].astype(
+        jnp.uint32
+    )
+    big = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.where(valid, key_hi, big)
+    key_lo = jnp.where(valid, key_lo, big)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.lexsort((idx, key_lo, key_hi))
+    kh, kl = key_hi[order], key_lo[order]
+    head = jnp.concatenate(
+        [jnp.array([True]), (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])]
+    )
+    # arrival rank within each voxel segment
+    pos = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jnp.where(head, pos, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    in_rank = pos - seg_start
+    return order, v[order], head, in_rank
+
+
+def insert(
+    state: MapState,
+    points: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    basic_points: int,
+    basic_label_mask: jax.Array,
+    max_incoming_per_voxel: int = 24,
+    probe_depth: int = DEFAULT_PROBE_DEPTH,
+) -> MapState:
+    """AddPoints with the reference's per-block retention policy.
+
+    points: (N, 4) world-frame xyz+label; valid: (N,).
+    basic_label_mask: bool[L] — True for labels in basic_parts_labels.
+    Policy is applied in scan order per voxel (round r processes every
+    voxel's r-th incoming point, vectorized across voxels).
+    """
+    cap = state.capacity
+    kmax = state.points_per_voxel
+    order, vkeys, head, in_rank = _unique_voxels_of_points(points, valid, voxel_size)
+    pts_sorted = points[order]
+    val_sorted = valid[order]
+
+    # --- resolve a slot for each sorted point's voxel ---------------------
+    # Lookup on segment heads only would suffice, but a full vectorized
+    # lookup is simpler; claim phase runs on heads.
+    head_valid = head & val_sorted
+    slot_head = lookup(state, vkeys, probe_depth)  # (N,)
+    need_claim = head_valid & (slot_head < 0)
+
+    h = hash_keys(vkeys, cap)
+    taken = state.counts > 0  # live slots can't be claimed
+    uid = jnp.arange(points.shape[0], dtype=jnp.int32)
+    claimed_slot = jnp.where(need_claim, -1, slot_head)
+
+    def claim_round(d, carry):
+        claimed_slot, taken = carry
+        unresolved = need_claim & (claimed_slot < 0)
+        s = (h + d) & (cap - 1)
+        eligible = unresolved & ~taken[s]
+        # scatter-min of uid resolves races between distinct voxels
+        claim = jnp.full((cap,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        claim = claim.at[jnp.where(eligible, s, cap)].min(uid, mode="drop")
+        won = eligible & (claim[s] == uid)
+        claimed_slot = jnp.where(won, s, claimed_slot)
+        taken = taken.at[jnp.where(won, s, cap)].set(True, mode="drop")
+        return claimed_slot, taken
+
+    claimed_slot, _ = jax.lax.fori_loop(
+        0, probe_depth, claim_round, (claimed_slot, taken)
+    )
+
+    # write the claimed keys (stale keys in reused slots are overwritten)
+    newly = need_claim & (claimed_slot >= 0)
+    new_keys = state.keys.at[jnp.where(newly, claimed_slot, cap)].set(
+        vkeys, mode="drop"
+    )
+    # a reused slot may hold stale points/count from a culled block
+    new_counts = state.counts.at[jnp.where(newly, claimed_slot, cap)].set(
+        0, mode="drop"
+    )
+
+    # propagate each head's slot to its whole segment
+    seg_slot = jnp.where(head, claimed_slot, -1)
+    seg_slot = jax.lax.associative_scan(jnp.maximum, seg_slot)
+    # (maximum works: non-head entries are -1 and inherit the last head's
+    # slot; heads with no slot stay -1 and poison their own segment only,
+    # because the next head resets the running value... careful: a -1 head
+    # following a claimed head would wrongly inherit. Fix by masking below.)
+    # Correct propagation: carry the head position's slot via the seg_start
+    # trick instead.
+    pos = jnp.arange(points.shape[0], dtype=jnp.int32)
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(head, pos, 0))
+    seg_slot = claimed_slot[seg_start]
+
+    active = val_sorted & (seg_slot >= 0) & (in_rank < max_incoming_per_voxel)
+
+    # --- apply the retention policy round by round -------------------------
+    labels_int = jnp.clip(pts_sorted[:, 3].astype(jnp.int32), 0, basic_label_mask.shape[0] - 1)
+    is_basic = basic_label_mask[labels_int]
+
+    def policy_round(r, carry):
+        counts, blk_points = carry
+        act = active & (in_rank == r)  # at most one point per voxel
+        slot = jnp.where(act, seg_slot, cap)  # cap = dropped by mode="drop"
+        cnt = counts[jnp.minimum(slot, cap - 1)]
+        lab = labels_int
+        blk_labels = blk_points[jnp.minimum(slot, cap - 1), :, 3].astype(jnp.int32)
+        kidx = jnp.arange(kmax, dtype=jnp.int32)
+        zero_live = (blk_labels == 0) & (kidx[None, :] < cnt[:, None])
+        has_zero = jnp.any(zero_live, axis=-1)
+        first_zero = jnp.argmax(zero_live, axis=-1)
+
+        append_basic = cnt < basic_points
+        drop_zero = ~append_basic & (lab == 0)
+        overwrite_b = ~append_basic & (lab != 0) & is_basic
+        append_crit = ~append_basic & (lab != 0) & ~is_basic & (cnt < kmax)
+        overwrite_c = ~append_basic & (lab != 0) & ~is_basic & (cnt >= kmax)
+
+        do_append = act & (append_basic | append_crit)
+        do_overwrite = act & (overwrite_b | overwrite_c) & has_zero & ~drop_zero
+        target = jnp.where(do_append, cnt, first_zero)
+        write = do_append | do_overwrite
+        wslot = jnp.where(write, slot, cap)
+        blk_points = blk_points.at[wslot, jnp.where(write, target, 0)].set(
+            pts_sorted, mode="drop"
+        )
+        counts = counts.at[wslot].add(do_append.astype(jnp.int32), mode="drop")
+        return counts, blk_points
+
+    new_counts, new_points = jax.lax.fori_loop(
+        0, max_incoming_per_voxel, policy_round, (new_counts, state.points)
+    )
+    return MapState(keys=new_keys, counts=new_counts, points=new_points)
+
+
+def remove_far(state: MapState, origin: jax.Array, max_distance) -> MapState:
+    """Erase blocks whose FIRST point is > max_distance from origin
+    (reference VoxelHashMap.cpp:176-184)."""
+    first = state.points[:, 0, :3]
+    d2 = jnp.sum((first - origin[None, :]) ** 2, axis=-1)
+    live = state.counts > 0
+    kill = live & (d2 > max_distance * max_distance)
+    return state._replace(counts=jnp.where(kill, 0, state.counts))
+
+
+def clear(state: MapState) -> MapState:
+    return create(state.capacity, state.points_per_voxel, state.points.dtype)
+
+
+def is_empty(state: MapState) -> jax.Array:
+    return ~jnp.any(state.counts > 0)
+
+
+def pointcloud(state: MapState) -> tuple[jax.Array, jax.Array]:
+    """Flatten all live points: returns ((C*K, 4), (C*K,) mask)."""
+    kidx = jnp.arange(state.points_per_voxel, dtype=jnp.int32)
+    mask = kidx[None, :] < state.counts[:, None]
+    return state.points.reshape(-1, 4), mask.reshape(-1)
+
+
+# 27-neighborhood offsets, static constant (reference VoxelHashMap.cpp:57-63).
+_NEIGHBOR_OFFSETS = jnp.array(
+    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=jnp.int32,
+)
+
+
+def get_correspondences(
+    state: MapState,
+    query: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    max_correspondence_distance,
+    sem_th,
+    probe_depth: int = DEFAULT_PROBE_DEPTH,
+) -> tuple[jax.Array, jax.Array]:
+    """Semantic nearest-neighbor search over the 27 neighboring voxels.
+
+    query: (N, 4); returns (target (N, 4), accept (N,) bool). Matches the
+    reference metric exactly: argmin over sem_th-scaled squared distance,
+    acceptance via unweighted Euclidean distance (VoxelHashMap.cpp:88,111).
+    """
+    kmax = state.points_per_voxel
+    v = trunc_div(query[:, :3], voxel_size)  # (N, 3)
+    nb = v[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 27, 3)
+    slots = lookup(state, nb, probe_depth)  # (N, 27)
+    found = slots >= 0
+    safe = jnp.where(found, slots, 0)
+    cand = state.points[safe]  # (N, 27, K, 4)
+    cnt = state.counts[safe]  # (N, 27)
+    kidx = jnp.arange(kmax, dtype=jnp.int32)
+    cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (N,27,K)
+
+    diff = cand[..., :3] - query[:, None, None, :3]
+    d2 = jnp.sum(diff * diff, axis=-1)  # (N, 27, K)
+    ql = query[:, 3].astype(jnp.int32)
+    cl = cand[..., 3].astype(jnp.int32)
+    sem = (cl == ql[:, None, None]) | (cl * ql[:, None, None] == 0)
+    d2w = jnp.where(sem, d2 * sem_th, d2)
+    inf = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2w = jnp.where(cmask, d2w, inf)
+
+    flat_w = d2w.reshape(d2w.shape[0], -1)
+    best = jnp.argmin(flat_w, axis=-1)  # (N,)
+    any_cand = jnp.any(cmask.reshape(cmask.shape[0], -1), axis=-1)
+    tgt = jnp.take_along_axis(
+        cand.reshape(cand.shape[0], -1, 4), best[:, None, None], axis=1
+    )[:, 0, :]
+    d2_true = jnp.take_along_axis(
+        d2.reshape(d2.shape[0], -1), best[:, None], axis=1
+    )[:, 0]
+    accept = (
+        valid
+        & any_cand
+        & (jnp.sqrt(d2_true) < max_correspondence_distance)
+    )
+    return tgt, accept

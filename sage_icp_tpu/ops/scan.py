@@ -1,0 +1,155 @@
+"""Scan-level kernels: range crop, label-range masking, deskew, and
+class-adaptive voxel downsampling — fixed-shape, masked, jit-safe.
+
+Reference behaviors reproduced (see /root/reference):
+  * Preprocess: keep points with min_range < ||p|| < max_range; zero the
+    label beyond label_max_range (cpp/sage_icp/core/Preprocessing.cpp:86-189).
+    The reference *compacts* inliers; we keep fixed shape and carry a
+    validity mask instead (masked-out points get pushed far away so that
+    downstream voxel ops never select them).
+  * VoxelDownsample: one grid per semantic class group, per-group voxel
+    size * vox_scale, keep the FIRST point (scan order) per voxel; points
+    whose label belongs to no group are dropped
+    (cpp/sage_icp/core/Preprocessing.cpp:44-84).
+  * DeSkewScan: constant-velocity motion compensation,
+    exp((t_i - 0.5) * log(start^-1 finish)) per point
+    (cpp/sage_icp/core/Deskew.cpp:36-50).
+
+Voxel coordinates use C-style truncation toward zero (`static_cast<int>` in
+the reference), NOT floor — this matters for points with negative coords.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sage_icp_tpu.ops import geometry as geo
+
+# Sentinel coordinate for invalid/masked points: far outside any plausible
+# map so they can never alias a live voxel.
+INVALID_COORD = 1.0e7
+
+
+def trunc_div(x: jax.Array, s) -> jax.Array:
+    """C-style int cast of x / s (truncation toward zero)."""
+    return jnp.trunc(x / s).astype(jnp.int32)
+
+
+def preprocess(
+    points: jax.Array,
+    valid: jax.Array,
+    max_range: float,
+    min_range: float,
+    label_max_range: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Range crop + label-range masking.
+
+    points: (N, 4) xyz+label, valid: (N,) bool. Returns (points', valid').
+    Points outside [min_range, max_range] become invalid; labels beyond
+    label_max_range are zeroed (reference Preprocessing.cpp:102-103,177-178).
+    """
+    norm = jnp.linalg.norm(points[:, :3], axis=-1)
+    keep = valid & (norm < max_range) & (norm > min_range)
+    label = jnp.where(norm > label_max_range, 0.0, points[:, 3])
+    pts = jnp.concatenate([points[:, :3], label[:, None]], axis=-1)
+    # Push invalid points to the sentinel so voxel keys can't collide.
+    pts = jnp.where(keep[:, None], pts, jnp.full_like(pts, INVALID_COORD))
+    return pts, keep
+
+
+def deskew(
+    points: jax.Array,
+    timestamps: jax.Array,
+    start_pose: jax.Array,
+    finish_pose: jax.Array,
+) -> jax.Array:
+    """Constant-velocity motion compensation (reference Deskew.cpp:36-50).
+
+    points: (N, 4), timestamps: (N,) normalized to [0, 1].
+    Applies exp((t_i - 0.5) * log(start^-1 finish)) to xyz.
+    """
+    delta = geo.se3_log(geo.se3_inverse(start_pose) @ finish_pose)  # (6,)
+    scaled = (timestamps - 0.5)[:, None] * delta[None, :]  # (N, 6)
+    T = geo.se3_exp(scaled)  # (N, 4, 4)
+    xyz = jnp.einsum("nij,nj->ni", T[:, :3, :3], points[:, :3]) + T[:, :3, 3]
+    return jnp.concatenate([xyz, points[:, 3:]], axis=-1)
+
+
+def make_label_group_lut(voxel_labels: list[list[int]], num_labels: int = 260) -> jax.Array:
+    """label -> class-group id LUT; -1 = label in no group (point is dropped
+    by the downsampler, reference Preprocessing.cpp:69)."""
+    lut = -jnp.ones((num_labels,), dtype=jnp.int32)
+    for g, labels in enumerate(voxel_labels):
+        for lab in labels:
+            lut = lut.at[lab].set(g)
+    return lut
+
+
+def voxel_downsample(
+    points: jax.Array,
+    valid: jax.Array,
+    group_lut: jax.Array,
+    voxel_sizes: jax.Array,
+    vox_scale: float,
+    out_capacity: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Class-adaptive voxel downsample, keeping the first point in scan
+    order per (group, voxel) cell (reference Preprocessing.cpp:44-84).
+
+    points: (N, 4); valid: (N,); group_lut: (L,) label->group;
+    voxel_sizes: (G,) per-group base size (scaled by vox_scale).
+    Returns (out_points (out_capacity, 4), out_valid (out_capacity,)).
+
+    Implementation: per point compute (group, voxel key); sort by a packed
+    64-bit-ish composite key with original index as tiebreak; keep segment
+    heads. All fixed shape — dropped/overflowed points become invalid.
+    """
+    n = points.shape[0]
+    label = points[:, 3].astype(jnp.int32)
+    label = jnp.clip(label, 0, group_lut.shape[0] - 1)
+    group = jnp.where(valid, group_lut[label], -1)
+    in_group = group >= 0
+    g_safe = jnp.maximum(group, 0)
+    sizes = voxel_sizes[g_safe] * vox_scale
+    v = trunc_div(points[:, :3], sizes[:, None])  # (N, 3) int32
+
+    # Pack (group, voxel) into a comparable key. Voxel coords from a LiDAR
+    # scan are bounded by max_range / min(voxel) — use 11 bits per axis
+    # (+-1023) which covers 100 m at >= 0.1 m voxels; clamp defensively.
+    vc = jnp.clip(v, -1023, 1023) + 1024  # [1, 2047] -> 11 bits
+    # Two-level key: high = group|x, low = y|z (lexicographic pair).
+    key_hi = g_safe.astype(jnp.uint32) * jnp.uint32(2**11) + vc[:, 0].astype(jnp.uint32)
+    key_lo = vc[:, 1].astype(jnp.uint32) * jnp.uint32(2**11) + vc[:, 2].astype(jnp.uint32)
+    # Invalid points sort to the end.
+    big = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.where(in_group, key_hi, big)
+    key_lo = jnp.where(in_group, key_lo, big)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # Lexicographic sort by (key_hi, key_lo, idx): jnp.lexsort, last key primary.
+    order = jnp.lexsort((idx, key_lo, key_hi))
+    kh = key_hi[order]
+    kl = key_lo[order]
+    ig = in_group[order]
+    # Segment head: first occurrence of each (hi, lo).
+    head = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1]),
+        ]
+    )
+    keep = head & ig
+
+    # Compact the kept points to the front of a fixed-size output. Sorting
+    # by (!keep, position) gives kept points (in key order) first.
+    rank = jnp.cumsum(keep) - 1  # output slot for kept points
+    src = points[order]
+    # Kept rows scatter to their rank; everything else scatters out of
+    # bounds and is dropped (mode="drop").
+    slot = jnp.where(keep & (rank < out_capacity), rank, out_capacity)
+    out_pts = jnp.full((out_capacity, 4), INVALID_COORD, dtype=points.dtype)
+    out_val = jnp.zeros((out_capacity,), dtype=bool)
+    out_pts = out_pts.at[slot].set(src, mode="drop")
+    out_val = out_val.at[slot].set(True, mode="drop")
+    return out_pts, out_val
