@@ -1,0 +1,402 @@
+"""The SAGE-ICP odometry pipeline as one jitted, fixed-shape step function.
+
+TPU-native re-design of the reference's stateful orchestrator
+(cpp/sage_icp/pipeline/sageICP.{hpp,cpp}): instead of a mutable C++ object
+driven per-ROS-message, the whole per-scan pipeline
+
+    deskew -> preprocess -> double voxel downsample -> adaptive threshold
+    -> constant-velocity prediction -> semantic ICP -> map update
+
+is a pure function (OdomState, scan) -> (OdomState', pose) traced once and
+compiled by XLA. The host keeps only the trajectory log.
+
+Reference behaviors reproduced (file:line in /root/reference):
+  * deskew gated on config && >= 3 poses (pipeline/sageICP.cpp:38-50)
+  * double downsample: map frame at 0.5x group size, ICP source at a
+    further 1.5x (pipeline/sageICP.cpp:97-101)
+  * sigma plumbing: max_corr_dist = 3*sigma, robust kernel = sigma/3
+    (pipeline/sageICP.cpp:80-85)
+  * adaptive threshold: sigma = initial until HasMoved; ComputeThreshold
+    accumulates SSE of the model error when error > min_motion_th
+    (pipeline/sageICP.cpp:103-108, core/Threshold.cpp:39-50)
+  * HasMoved = ||(first^-1 last).t|| > 5 * min_motion_th
+    (pipeline/sageICP.cpp:117-121)
+  * prediction = poses[N-2]^-1 poses[N-1]; initial_guess = last * pred
+    (pipeline/sageICP.cpp:74-76,110-115)
+  * map update with the new pose, cull by local_map_range
+    (pipeline/sageICP.cpp:92, core/VoxelHashMap.cpp:144-160)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sage_icp_tpu.ops import geometry as geo
+from sage_icp_tpu.ops import hashmap as hm
+from sage_icp_tpu.ops import registration as reg
+from sage_icp_tpu.ops import scan as scan_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class SageConfig:
+    """All tunables; defaults = the reference's KITTI/Cylinder3D variant
+    (ros/launch/odometry.launch.py:14-97 + pipeline/sageICP.hpp:39-65)."""
+
+    # semantic class groups for the adaptive downsampler
+    voxel_labels: tuple = (
+        (40, 44, 48, 49),  # road
+        (50, 51, 52),  # building
+        (70, 72),  # plant
+        (60, 71, 80, 81, 99),  # object
+        (0,),  # unlabelled
+        (10, 11, 13, 15, 16, 18, 20),  # vehicle
+    )
+    voxel_size: tuple = (0.6, 1.0, 0.9, 0.8, 1.0, 0.6)
+
+    # map
+    voxel_size_map: float = 0.8
+    local_map_range: float = 100.0
+    basic_points_per_voxel: int = 20
+    critical_points_per_voxel: int = 20
+    basic_parts_labels: tuple = (40, 44, 48, 49, 50, 70, 72)
+
+    # preprocessing
+    max_range: float = 100.0
+    min_range: float = 5.0
+    label_max_range: float = 50.0
+    deskew: bool = False
+
+    # dynamic vehicle filter (reference core/Preprocessing.cpp:95-172)
+    dynamic_vehicle_filter: bool = True
+    dynamic_vehicle_filter_th: float = 0.5
+    dynamic_vehicle_voxid: int = 5
+    dynamic_remove_landmark: tuple = (44, 48)
+
+    # semantic association + adaptive threshold
+    sem_th: float = 0.4
+    initial_threshold: float = 2.0
+    min_motion_th: float = 0.1
+
+    # --- TPU capacities (fixed shapes; no reference analog) ---
+    scan_capacity: int = 135_168  # raw points per scan (KITTI ~130k)
+    frame_capacity: int = 65_536  # after 0.5x class-adaptive downsample
+    source_capacity: int = 16_384  # after further 1.5x downsample (ICP src)
+    map_capacity: int = 262_144  # voxel slots (power of two)
+    probe_depth: int = 16
+    max_incoming_per_voxel: int = 24
+    max_icp_iterations: int = 500
+    dtype: str = "float32"
+
+    def jax_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def points_per_voxel(self) -> int:
+        return self.basic_points_per_voxel + self.critical_points_per_voxel
+
+
+# Per-dataset presets (SURVEY.md section 5 config table; diffs verified
+# against ros/launch/odometry_360.launch.py, odometry_gt.launch.py,
+# odometry_raw.launch.py).
+PRESETS = {
+    "kitti": SageConfig(),
+    "kitti360": SageConfig(
+        voxel_size=(1.0, 0.5, 1.0, 0.5, 1.0, 0.5),
+        voxel_size_map=1.0,
+        sem_th=0.8,
+    ),
+    "kitti_gt": SageConfig(
+        sem_th=0.05,
+        dynamic_vehicle_filter=False,
+    ),
+    "kitti_raw": SageConfig(
+        voxel_size=(1.2, 1.0, 1.2, 0.2, 1.0, 0.5),
+        voxel_size_map=1.0,
+        sem_th=0.2,
+    ),
+    # geometric KISS-ICP mode: single class group holding every label,
+    # semantics disabled (BASELINE.json config #1)
+    "geometric": SageConfig(
+        voxel_labels=(tuple(range(260)),),
+        voxel_size=(1.0,),
+        voxel_size_map=1.0,
+        sem_th=1.0,
+        label_max_range=0.0,  # zero all labels
+        dynamic_vehicle_filter=False,
+        basic_points_per_voxel=20,
+        critical_points_per_voxel=0,
+    ),
+}
+
+
+class ThresholdState(NamedTuple):
+    """Functional AdaptiveThreshold (reference core/Threshold.hpp:29-52)."""
+
+    model_deviation: jax.Array  # (4, 4)
+    sse: jax.Array  # f32 scalar
+    num_samples: jax.Array  # i32 scalar
+
+
+class OdomState(NamedTuple):
+    map: hm.MapState
+    last_pose: jax.Array  # (4, 4) poses_[N-1]
+    prev_pose: jax.Array  # (4, 4) poses_[N-2]
+    first_pose: jax.Array  # (4, 4) poses_.front()
+    num_poses: jax.Array  # i32
+    threshold: ThresholdState
+
+
+class StepAux(NamedTuple):
+    sigma: jax.Array
+    icp_iterations: jax.Array
+    num_correspondences: jax.Array
+    num_source: jax.Array
+    num_frame_ds: jax.Array
+
+
+def init_state(config: SageConfig) -> OdomState:
+    dt = config.jax_dtype()
+
+    # distinct device buffers per leaf: the step donates the whole state,
+    # and donating one buffer twice is a runtime error
+    def eye():
+        return jnp.asarray(np.eye(4), dtype=dt)
+
+    return OdomState(
+        map=hm.create(config.map_capacity, config.points_per_voxel, dt),
+        last_pose=eye(),
+        prev_pose=eye(),
+        first_pose=eye(),
+        num_poses=jnp.asarray(0, jnp.int32),
+        threshold=ThresholdState(
+            model_deviation=eye(),
+            sse=jnp.asarray(0.0, dt),
+            num_samples=jnp.asarray(0, jnp.int32),
+        ),
+    )
+
+
+def compute_model_error(deviation: jax.Array, max_range) -> jax.Array:
+    """reference core/Threshold.cpp:29-34."""
+    theta = geo.rotation_angle(deviation[:3, :3])
+    delta_rot = 2.0 * max_range * jnp.sin(theta / 2.0)
+    delta_trans = jnp.linalg.norm(deviation[:3, 3])
+    return delta_trans + delta_rot
+
+
+def _adaptive_sigma(
+    ts: ThresholdState, has_moved: jax.Array, config: SageConfig
+) -> tuple[jax.Array, ThresholdState]:
+    """sigma + threshold-state update. GetAdaptiveThreshold returns the
+    initial threshold until motion exceeds 5*min_motion_th; afterwards
+    ComputeThreshold() both accumulates and returns (stateful in the
+    reference: Threshold.cpp:39-50 — only invoked when HasMoved,
+    pipeline/sageICP.cpp:103-108)."""
+    err = compute_model_error(ts.model_deviation, config.max_range)
+    take = has_moved & (err > config.min_motion_th)
+    sse = jnp.where(take, ts.sse + err * err, ts.sse)
+    n = jnp.where(take, ts.num_samples + 1, ts.num_samples)
+    sigma_adaptive = jnp.where(
+        n < 1,
+        jnp.asarray(config.initial_threshold, ts.sse.dtype),
+        jnp.sqrt(sse / jnp.maximum(n, 1).astype(ts.sse.dtype)),
+    )
+    sigma = jnp.where(
+        has_moved, sigma_adaptive, jnp.asarray(config.initial_threshold, ts.sse.dtype)
+    )
+    return sigma, ThresholdState(ts.model_deviation, sse, n)
+
+
+def voxelize(points, valid, config: SageConfig):
+    """Double downsample (reference pipeline/sageICP.cpp:97-101)."""
+    lut = scan_ops.make_label_group_lut(list(map(list, config.voxel_labels)))
+    sizes = jnp.asarray(config.voxel_size, dtype=points.dtype)
+    frame_ds, frame_valid = scan_ops.voxel_downsample(
+        points, valid, lut, sizes, 0.5, config.frame_capacity
+    )
+    source, source_valid = scan_ops.voxel_downsample(
+        frame_ds, frame_valid, lut, sizes, 1.5, config.source_capacity
+    )
+    return (source, source_valid), (frame_ds, frame_valid)
+
+
+def odometry_step(
+    state: OdomState,
+    points: jax.Array,
+    valid: jax.Array,
+    timestamps: jax.Array,
+    config: SageConfig,
+) -> tuple[OdomState, jax.Array, StepAux]:
+    """One full odometry step (reference pipeline/sageICP.cpp:36-95).
+
+    points: (scan_capacity, 4) sensor-frame xyz+label; valid: mask;
+    timestamps: (scan_capacity,) in [0,1] (used iff config.deskew).
+    Returns (new_state, pose (4,4), aux).
+    """
+    dt = config.jax_dtype()
+    eye = jnp.eye(4, dtype=dt)
+
+    # --- deskew (gated: config flag && >= 3 poses) -------------------------
+    if config.deskew:
+        deskewed = scan_ops.deskew(points, timestamps, state.prev_pose, state.last_pose)
+        use = state.num_poses > 2
+        points = jnp.where(use, deskewed, points)
+
+    # --- preprocess ---------------------------------------------------------
+    cropped, crop_valid = scan_ops.preprocess(
+        points, valid, config.max_range, config.min_range, config.label_max_range
+    )
+    # NOTE: dynamic vehicle filter (reference Preprocessing.cpp:95-172) is
+    # applied here when enabled — see sage_icp_tpu.ops.dynamic_filter.
+    if config.dynamic_vehicle_filter:
+        from sage_icp_tpu.ops import dynamic_filter as dyn
+
+        cropped, crop_valid = dyn.filter_dynamic_vehicles(
+            cropped, crop_valid, config
+        )
+
+    # --- voxelize ------------------------------------------------------------
+    (source, source_valid), (frame_ds, frame_valid) = voxelize(
+        cropped, crop_valid, config
+    )
+
+    # --- adaptive threshold --------------------------------------------------
+    motion = jnp.linalg.norm(
+        (geo.se3_inverse(state.first_pose) @ state.last_pose)[:3, 3]
+    )
+    has_moved = (state.num_poses > 0) & (motion > 5.0 * config.min_motion_th)
+    sigma, thr = _adaptive_sigma(state.threshold, has_moved, config)
+
+    # --- prediction + initial guess ------------------------------------------
+    prediction = jnp.where(
+        state.num_poses < 2,
+        eye,
+        geo.se3_inverse(state.prev_pose) @ state.last_pose,
+    )
+    last = jnp.where(state.num_poses > 0, state.last_pose, eye)
+    initial_guess = jnp.matmul(last, prediction, precision="highest")
+
+    # --- ICP -------------------------------------------------------------------
+    icp = reg.register_frame(
+        state.map,
+        source,
+        source_valid,
+        initial_guess,
+        config.voxel_size_map,
+        3.0 * sigma,
+        sigma / 3.0,
+        config.sem_th,
+        max_iterations=config.max_icp_iterations,
+        probe_depth=config.probe_depth,
+    )
+    new_pose = icp.pose
+
+    # --- threshold deviation + map update ---------------------------------------
+    model_deviation = jnp.matmul(
+        geo.se3_inverse(initial_guess), new_pose, precision="highest"
+    )
+    thr = ThresholdState(model_deviation, thr.sse, thr.num_samples)
+
+    world_frame = geo.transform_points(new_pose, frame_ds)
+    new_map = hm.insert(
+        state.map,
+        world_frame,
+        frame_valid,
+        config.voxel_size_map,
+        config.basic_points_per_voxel,
+        _basic_label_mask(config),
+        max_incoming_per_voxel=config.max_incoming_per_voxel,
+        probe_depth=config.probe_depth,
+    )
+    new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
+
+    new_state = OdomState(
+        map=new_map,
+        last_pose=new_pose,
+        prev_pose=jnp.where(state.num_poses > 0, state.last_pose, new_pose),
+        first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
+        num_poses=state.num_poses + 1,
+        threshold=thr,
+    )
+    aux = StepAux(
+        sigma=sigma,
+        icp_iterations=icp.iterations,
+        num_correspondences=icp.num_correspondences,
+        num_source=jnp.sum(source_valid.astype(jnp.int32)),
+        num_frame_ds=jnp.sum(frame_valid.astype(jnp.int32)),
+    )
+    return new_state, new_pose, aux
+
+
+def _basic_label_mask(config: SageConfig, num_labels: int = 260):
+    m = np.zeros((num_labels,), dtype=bool)
+    for lab in config.basic_parts_labels:
+        m[lab] = True
+    return jnp.asarray(m)
+
+
+def make_step(config: SageConfig, jit: bool = True, donate: bool = True):
+    """Build the compiled step: (state, points, valid, timestamps) ->
+    (state', pose, aux). State buffers are donated (the map is updated
+    in place on device — no HBM copy per frame)."""
+    fn = partial(odometry_step, config=config)
+    if not jit:
+        return fn
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+class SageICP:
+    """Stateful convenience wrapper — the host-side equivalent of the
+    reference's pipeline object (pipeline/sageICP.hpp:67-109). Handles
+    padding to fixed capacities and keeps the trajectory log."""
+
+    def __init__(self, config: SageConfig | str = "kitti"):
+        if isinstance(config, str):
+            config = PRESETS[config]
+        self.config = config
+        self._step = make_step(config)
+        self.state = init_state(config)
+        self.poses: list[np.ndarray] = []
+        self.timings: list[float] = []
+
+    def register_frame(
+        self, points: np.ndarray, timestamps: np.ndarray | None = None
+    ) -> np.ndarray:
+        """points: (n, 4) float array (xyz + label); returns 4x4 pose."""
+        import time
+
+        cfg = self.config
+        cap = cfg.scan_capacity
+        n = min(len(points), cap)
+        buf = np.full((cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
+        buf[:n] = points[:n]
+        val = np.zeros((cap,), dtype=bool)
+        val[:n] = True
+        ts = np.zeros((cap,), dtype=np.float32)
+        if timestamps is not None:
+            ts[:n] = timestamps[:n]
+        t0 = time.perf_counter()
+        self.state, pose, aux = self._step(
+            self.state, jnp.asarray(buf), jnp.asarray(val), jnp.asarray(ts)
+        )
+        pose = np.asarray(pose)
+        self.timings.append(time.perf_counter() - t0)
+        self.poses.append(pose)
+        self.last_aux = jax.tree.map(np.asarray, aux)
+        return pose
+
+    def local_map(self) -> np.ndarray:
+        pts, mask = hm.pointcloud(self.state.map)
+        return np.asarray(pts)[np.asarray(mask)]
+
+    def reinitialize(self):
+        """reference pipeline/sageICP.hpp:94-99."""
+        self.state = init_state(self.config)
+        self.poses = []
+        self.timings = []

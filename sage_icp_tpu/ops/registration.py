@@ -1,0 +1,149 @@
+"""Point-to-point ICP with Gauss-Newton steps and a Geman-McClure-style
+robust kernel — the TPU-native re-design of the reference's registration
+core (cpp/sage_icp/core/Registration.cpp).
+
+Reference semantics reproduced:
+  * residual r = s - t, Jacobian J = [I | -hat(s)]  (Registration.cpp:62-70)
+  * robust weight w = kernel^2 / (kernel + ||r||^2)^2  (Registration.cpp:79)
+  * solve (J^T W J) x = -(J^T W r), pose increment = SE3::exp(x)
+    (Registration.cpp:92-93)
+  * loop <= 500 iterations, stop when ||log(exp(x))|| = ||x|| < 1e-4
+    (Registration.cpp:96-97,137)
+  * empty map => return the initial guess unchanged (Registration.cpp:119)
+
+TPU mapping: per-point 3x6 Jacobians are assembled as one (N*3, 6) matrix
+so J^T W J / J^T W r reduce to two MXU matmuls (f32 accumulation); under a
+device mesh the points axis is sharded and the 6x6/6 results are psum-ed.
+The correspondence search + GN step live inside one lax.while_loop, so the
+whole ICP solve is a single XLA computation with a data-dependent trip
+count — no host round trips per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sage_icp_tpu.ops import geometry as geo
+from sage_icp_tpu.ops import hashmap as hm
+
+MAX_ITERATIONS = 500  # reference Registration.cpp:96
+ESTIMATION_THRESHOLD = 1e-4  # reference Registration.cpp:97
+
+
+def build_normal_equations(
+    src: jax.Array, tgt: jax.Array, weight_mask: jax.Array, kernel
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble J^T W J (6x6) and J^T W r (6) over masked correspondences.
+
+    src/tgt: (N, 4) (label lane ignored); weight_mask: (N,) bool.
+    The robust weight w = kernel^2/(kernel + ||r||^2)^2 matches
+    Registration.cpp:79; masked rows contribute zero.
+    """
+    s = src[:, :3]
+    r = s - tgt[:, :3]  # residual (N, 3)
+    r2 = jnp.sum(r * r, axis=-1)
+    w = (kernel * kernel) / jnp.square(kernel + r2)
+    w = jnp.where(weight_mask, w, 0.0)
+
+    # J_i = [I | -hat(s_i)] : (3, 6). Rows of the stacked (N*3, 6) matrix:
+    #   row (i,0) = [1, 0, 0,    0,  s_z, -s_y]
+    #   row (i,1) = [0, 1, 0, -s_z,    0,  s_x]
+    #   row (i,2) = [0, 0, 1,  s_y, -s_x,   0]
+    n = s.shape[0]
+    zeros = jnp.zeros((n,), dtype=s.dtype)
+    ones = jnp.ones((n,), dtype=s.dtype)
+    sx, sy, sz = s[:, 0], s[:, 1], s[:, 2]
+    J = jnp.stack(
+        [
+            jnp.stack([ones, zeros, zeros, zeros, sz, -sy], axis=-1),
+            jnp.stack([zeros, ones, zeros, -sz, zeros, sx], axis=-1),
+            jnp.stack([zeros, zeros, ones, sy, -sx, zeros], axis=-1),
+        ],
+        axis=1,
+    )  # (N, 3, 6)
+    Jw = J * w[:, None, None]
+    Jf = J.reshape(n * 3, 6)
+    Jwf = Jw.reshape(n * 3, 6)
+    rf = r.reshape(n * 3)
+    # two MXU matmuls, f32 accumulation
+    JTJ = jnp.matmul(Jwf.T, Jf, precision="highest")  # (6, 6)
+    JTr = jnp.matmul(Jwf.T, rf[:, None], precision="highest")[:, 0]  # (6,)
+    return JTJ, JTr
+
+
+def solve_increment(JTJ: jax.Array, JTr: jax.Array) -> jax.Array:
+    """Solve JTJ x = -JTr. A tiny Tikhonov term keeps the solve finite when
+    there are no correspondences (JTJ = 0 -> x = 0 -> loop terminates,
+    reproducing the reference's empty-map early return)."""
+    A = JTJ + 1e-8 * jnp.eye(6, dtype=JTJ.dtype)
+    x = jax.scipy.linalg.solve(A, -JTr, assume_a="pos")
+    # guard NaN/inf (singular geometry): a zero step terminates the loop
+    return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+
+
+class IcpResult(NamedTuple):
+    pose: jax.Array  # (4, 4) final estimate (world <- scan)
+    iterations: jax.Array  # int32
+    num_correspondences: jax.Array  # int32 at the last iteration
+
+
+def register_frame(
+    map_state: hm.MapState,
+    frame: jax.Array,
+    valid: jax.Array,
+    initial_guess: jax.Array,
+    voxel_size,
+    max_correspondence_distance,
+    kernel,
+    sem_th,
+    max_iterations: int = MAX_ITERATIONS,
+    probe_depth: int = hm.DEFAULT_PROBE_DEPTH,
+) -> IcpResult:
+    """Frame-to-map ICP (reference Registration.cpp:113-141).
+
+    frame: (N, 4) in the sensor frame; valid: (N,). Returns the new pose.
+    """
+    source0 = geo.transform_points(initial_guess, frame)
+
+    def cond(carry):
+        _, _, it, last_norm, _ = carry
+        return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
+
+    def body(carry):
+        source, T_icp, it, _, _ = carry
+        tgt, accept = hm.get_correspondences(
+            map_state,
+            source,
+            valid,
+            voxel_size,
+            max_correspondence_distance,
+            sem_th,
+            probe_depth,
+        )
+        JTJ, JTr = build_normal_equations(source, tgt, accept, kernel)
+        # under a sharded points axis these psum over the mesh (see
+        # sage_icp_tpu.parallel); single-device this is a no-op
+        x = solve_increment(JTJ, JTr)
+        estimation = geo.se3_exp(x)
+        source = geo.transform_points(estimation, source)
+        T_icp = jnp.matmul(estimation, T_icp, precision="highest")
+        ncorr = jnp.sum(accept.astype(jnp.int32))
+        return source, T_icp, it + 1, jnp.linalg.norm(x), ncorr
+
+    eye = jnp.eye(4, dtype=frame.dtype)
+    init = (
+        source0,
+        eye,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, frame.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, T_icp, iters, _, ncorr = jax.lax.while_loop(cond, body, init)
+    # empty map: zero correspondences every iteration -> x = 0 after iter 1
+    # -> T_icp = I -> returns initial_guess (reference Registration.cpp:119)
+    pose = jnp.matmul(T_icp, initial_guess, precision="highest")
+    return IcpResult(pose=pose, iterations=iters, num_correspondences=ncorr)

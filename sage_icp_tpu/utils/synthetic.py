@@ -1,0 +1,220 @@
+"""Deterministic synthetic semantic-LiDAR world for tests and benchmarks.
+
+No KITTI data ships with this environment, so integration tests and
+bench.py drive the odometry with a procedurally generated urban scene:
+a road corridor with sidewalks/parking strips, building walls, poles and
+parked vehicles, all labeled with semantic-KITTI ids. Scans are rendered
+by range-windowing the static world from a moving sensor pose with
+distance-dependent thinning and Gaussian range noise — structurally close
+to what the reference's eval publishers feed the odometry
+(reference eval/kitti_pub.py:340-482 replays real KITTI the same way:
+points + labels + ground-truth poses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# semantic-KITTI ids (reference ros/launch/semantic-kitti.yaml)
+ROAD, PARKING, SIDEWALK = 40, 44, 48
+BUILDING, FENCE = 50, 51
+VEGETATION, TRUNK = 70, 71
+POLE, TRAFFIC_SIGN = 80, 81
+CAR = 10
+UNLABELED = 0
+
+
+def build_world(seed: int = 0, length: float = 300.0, half_width: float = 14.0):
+    """Returns (points (M,3) f32, labels (M,) int32). World frame: road
+    along +x, z up, sensor height ~1.8 m above road."""
+    rng = np.random.default_rng(seed)
+    pts, labs = [], []
+
+    def grid(x0, x1, y0, y1, z, step, label, jitter=0.03, zjit=0.02):
+        xs = np.arange(x0, x1, step)
+        ys = np.arange(y0, y1, step)
+        X, Y = np.meshgrid(xs, ys)
+        n = X.size
+        p = np.stack(
+            [
+                X.ravel() + rng.normal(0, jitter, n),
+                Y.ravel() + rng.normal(0, jitter, n),
+                np.full(n, z) + rng.normal(0, zjit, n),
+            ],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, label, dtype=np.int32))
+
+    def wall(x0, x1, y, z0, z1, step, label, jitter=0.03):
+        xs = np.arange(x0, x1, step)
+        zs = np.arange(z0, z1, step)
+        X, Z = np.meshgrid(xs, zs)
+        n = X.size
+        p = np.stack(
+            [
+                X.ravel() + rng.normal(0, jitter, n),
+                np.full(n, y) + rng.normal(0, jitter, n),
+                Z.ravel(),
+            ],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, label, dtype=np.int32))
+
+    # road surface + parking strips + sidewalks
+    grid(-20, length + 20, -4.0, 4.0, 0.0, 0.35, ROAD)
+    grid(-20, length + 20, 4.0, 6.0, 0.0, 0.35, PARKING)
+    grid(-20, length + 20, -6.0, -4.0, 0.0, 0.35, PARKING)
+    grid(-20, length + 20, 6.0, 8.5, 0.12, 0.35, SIDEWALK)
+    grid(-20, length + 20, -8.5, -6.0, 0.12, 0.35, SIDEWALK)
+
+    # building facades with gaps (cross streets every ~60 m)
+    for x0 in np.arange(-20, length + 20, 60.0):
+        wall(x0, x0 + 45.0, 9.5, 0.0, 7.0, 0.4, BUILDING)
+        wall(x0 + 5.0, x0 + 50.0, -9.5, 0.0, 6.0, 0.4, BUILDING)
+
+    # poles + signs along the sidewalk
+    for x in np.arange(0, length, 25.0):
+        for side in (7.2, -7.2):
+            zs = np.arange(0, 4.0, 0.12)
+            n = len(zs)
+            p = np.stack(
+                [
+                    np.full(n, x) + rng.normal(0, 0.01, n),
+                    np.full(n, side) + rng.normal(0, 0.01, n),
+                    zs,
+                ],
+                axis=1,
+            )
+            pts.append(p)
+            labs.append(np.full(n, POLE, dtype=np.int32))
+
+    # vegetation patches
+    for x in np.arange(12, length, 40.0):
+        n = 300
+        p = np.stack(
+            [
+                x + rng.normal(0, 1.2, n),
+                -7.0 + rng.normal(0, 0.8, n),
+                1.5 + rng.normal(0, 0.9, n),
+            ],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, VEGETATION, dtype=np.int32))
+
+    # parked cars on the parking strips (boxes of CAR points)
+    for x in np.arange(8, length, 30.0):
+        for side in (4.9, -4.9):
+            grid(x, x + 4.2, side - 0.85, side + 0.85, 0.8, 0.22, CAR)
+            wall(x, x + 4.2, side - 0.85, 0.2, 1.4, 0.25, CAR)
+
+    # street clutter: signs, small boxes, fences — gives the ICP tangential
+    # (along-road) structure like real urban scans have
+    for x in np.arange(3, length, 11.0):
+        side = 6.8 if (int(x) % 2 == 0) else -6.8
+        n = 120
+        p = np.stack(
+            [
+                x + rng.uniform(-0.4, 0.4, n),
+                side + rng.uniform(-0.4, 0.4, n),
+                rng.uniform(0.0, 1.6, n),
+            ],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, TRAFFIC_SIGN, dtype=np.int32))
+    # low fences crossing partial segments (x-structure)
+    for x0 in np.arange(15, length, 45.0):
+        wall_y = np.arange(6.0, 8.5, 0.25)
+        zs = np.arange(0.0, 1.2, 0.2)
+        Y, Z = np.meshgrid(wall_y, zs)
+        n = Y.size
+        p = np.stack(
+            [np.full(n, x0) + rng.normal(0, 0.02, n), Y.ravel(), Z.ravel()],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, FENCE, dtype=np.int32))
+
+    points = np.concatenate(pts).astype(np.float32)
+    labels = np.concatenate(labs)
+    return points, labels
+
+
+def make_trajectory(
+    n_frames: int,
+    step: float = 1.0,
+    curve: float = 0.0015,
+    accel_frames: int = 6,
+):
+    """Ground-truth 4x4 poses: accelerate from standstill to `step` m/frame
+    over `accel_frames` (like a real drive — the constant-velocity
+    prediction then keeps the ICP initial guess close), then cruise with a
+    gentle yaw curve. Sensor at z = 1.8."""
+    poses = []
+    x, y, yaw = 0.0, 0.0, 0.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = [x, y, 1.8]
+        poses.append(T.copy())
+        v = step * min(1.0, (i + 1) / max(accel_frames, 1))
+        x += v * np.cos(yaw)
+        y += v * np.sin(yaw)
+        yaw += curve * v
+    return np.stack(poses)
+
+
+def render_scan(
+    world_pts: np.ndarray,
+    world_labels: np.ndarray,
+    pose: np.ndarray,
+    rng: np.random.Generator,
+    max_range: float = 70.0,
+    n_target: int = 30_000,
+    noise: float = 0.01,
+    moving_obstacle: np.ndarray | None = None,
+):
+    """Render one labeled scan in the sensor frame: window the world by
+    range, thin with ~1/r density, add noise. Returns (n, 4) float32."""
+    Rinv = pose[:3, :3].T
+    tinv = -Rinv @ pose[:3, 3]
+    local = world_pts @ Rinv.T + tinv
+    r = np.linalg.norm(local, axis=1)
+    sel = (r < max_range) & (r > 1.0)
+    idx_all = np.nonzero(sel)[0]
+    local, labs, r = local[sel], world_labels[sel], r[sel]
+    # distance thinning: keep with prob ~ min(1, (12/r)^1.2). The draw is a
+    # DETERMINISTIC hash of the world-point index, so the same physical
+    # surface sample persists across frames (like real LiDAR returns from
+    # stable structure) — pure per-frame resampling would starve
+    # point-to-point ICP of persistent features.
+    u = (np.sin(idx_all * 12.9898 + 78.233) * 43758.5453) % 1.0
+    p = np.minimum(1.0, (12.0 / np.maximum(r, 1e-3)) ** 1.2)
+    keep = u < p
+    local, labs = local[keep], labs[keep]
+    if len(local) > n_target:
+        idx = rng.choice(len(local), n_target, replace=False)
+        local, labs = local[idx], labs[idx]
+    local = local + rng.normal(0, noise, local.shape)
+    scan = np.concatenate(
+        [local.astype(np.float32), labs[:, None].astype(np.float32)], axis=1
+    )
+    if moving_obstacle is not None:
+        scan = np.concatenate([scan, moving_obstacle.astype(np.float32)], axis=0)
+    return scan
+
+
+def moving_car_points(
+    offset_x: float, rng: np.random.Generator, n: int = 400
+) -> np.ndarray:
+    """A CAR-labeled box in the sensor frame (a vehicle driving ahead) —
+    exercise for the dynamic-vehicle filter."""
+    x = offset_x + rng.uniform(0, 4.0, n)
+    y = rng.uniform(-0.9, 0.9, n)
+    z = rng.uniform(0.2, 1.5, n)
+    lab = np.full(n, CAR, dtype=np.float32)
+    return np.stack([x, y, z, lab], axis=1).astype(np.float32)

@@ -1,0 +1,102 @@
+"""End-to-end integration: run the full jitted odometry step over a
+synthetic semantic world and check the recovered trajectory against ground
+truth — the same verification style as the reference's eval harness
+(reference eval/kitti_pub.py replaying KITTI with GT comparison)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sage_icp_tpu.models import pipeline as pl
+from sage_icp_tpu.utils import synthetic
+
+
+def small_config(**kw):
+    defaults = dict(
+        scan_capacity=16384,
+        frame_capacity=16384,
+        source_capacity=4096,
+        map_capacity=32768,
+        max_icp_iterations=100,
+        dynamic_vehicle_filter=False,
+        min_range=1.0,
+    )
+    defaults.update(kw)
+    return pl.SageConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.build_world(seed=1, length=80.0)
+
+
+def run_sequence(config, world, n_frames=12, step=1.0, n_target=9000, seed=3):
+    pts, labs = world
+    rng = np.random.default_rng(seed)
+    gt = synthetic.make_trajectory(n_frames, step=step)
+    odom = pl.SageICP(config)
+    for i in range(n_frames):
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=n_target)
+        odom.register_frame(scan)
+    return np.stack(odom.poses), gt, odom
+
+
+def test_full_pipeline_tracks_synthetic_trajectory(world):
+    est, gt, odom = run_sequence(small_config(), world)
+    # relative normalization (both start near identity already)
+    err = []
+    for e, g in zip(est, gt):
+        g0inv = np.linalg.inv(gt[0])
+        e0inv = np.linalg.inv(est[0])
+        err.append(np.linalg.norm((e0inv @ e)[:3, 3] - (g0inv @ g)[:3, 3]))
+    ate = np.sqrt(np.mean(np.square(err)))
+    assert ate < 0.15, f"trajectory ATE too large: {ate:.3f} m, errs={err}"
+    # sanity: the map grew and ICP converged within iteration budget
+    assert int(odom.last_aux.num_frame_ds) > 500
+    assert int(odom.last_aux.icp_iterations) < 100
+
+
+def test_geometric_preset_also_tracks(world):
+    cfg = small_config(
+        voxel_labels=(tuple(range(260)),),
+        voxel_size=(1.0,),
+        voxel_size_map=1.0,
+        sem_th=1.0,
+        label_max_range=0.0,
+        basic_points_per_voxel=10,
+        critical_points_per_voxel=0,
+    )
+    est, gt, _ = run_sequence(cfg, world, n_frames=8)
+    # odometry frame starts at identity: compare against gt normalized by
+    # the first pose
+    gt_rel = np.linalg.inv(gt[0]) @ gt[7]
+    final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[:3, 3])
+    assert final_err < 0.25, f"final drift {final_err:.3f} m"
+
+
+def test_reinitialize_resets(world):
+    cfg = small_config()
+    est, gt, odom = run_sequence(cfg, world, n_frames=3)
+    odom.reinitialize()
+    assert odom.poses == []
+    assert int(odom.state.num_poses) == 0
+    assert not bool(jnp.any(odom.state.map.counts > 0))
+
+
+def test_first_frame_pose_is_identity(world):
+    pts, labs = world
+    rng = np.random.default_rng(0)
+    gt = synthetic.make_trajectory(1)
+    odom = pl.SageICP(small_config())
+    scan = synthetic.render_scan(pts, labs, gt[0], rng, n_target=6000)
+    pose = odom.register_frame(scan)
+    np.testing.assert_allclose(pose, np.eye(4), atol=1e-5)
+
+
+def test_adaptive_threshold_engages(world):
+    est, gt, odom = run_sequence(small_config(min_motion_th=0.05), world, n_frames=8)
+    # after 8 frames of 1 m steps the vehicle has moved; sigma must have
+    # adapted away from the initial threshold at least once
+    assert int(odom.state.threshold.num_samples) >= 1
+    assert float(odom.last_aux.sigma) != pytest.approx(2.0)
