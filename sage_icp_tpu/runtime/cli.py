@@ -1,0 +1,104 @@
+"""Command-line entry point: the framework's replacement for the whole
+reference ROS stack (launch files + odometry node + eval publishers).
+
+Usage:
+    python -m sage_icp_tpu.runtime.cli --synthetic --frames 100
+    python -m sage_icp_tpu.runtime.cli --dataset kitti --root /data/KITTI \
+        --sequences 0 1 2 --preset kitti --out results/
+    python -m sage_icp_tpu.runtime.cli --dataset kitti360 --root ... \
+        --drive 2013_05_28_drive_0000_sync --poses-root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="sage_icp_tpu odometry runner")
+    ap.add_argument("--dataset", choices=["kitti", "kitti360", "synthetic"],
+                    default="synthetic")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="shorthand for --dataset synthetic")
+    ap.add_argument("--root", type=str, default=None)
+    ap.add_argument("--poses-root", type=str, default=None)
+    ap.add_argument("--sequences", type=int, nargs="*", default=[0])
+    ap.add_argument("--drive", type=str, default=None)
+    ap.add_argument("--preset", type=str, default="kitti")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--out", type=str, default="results")
+    ap.add_argument("--keyframes", action="store_true")
+    ap.add_argument("--no-labels", action="store_true")
+    args = ap.parse_args(argv)
+    if args.synthetic:
+        args.dataset = "synthetic"
+
+    from sage_icp_tpu.runtime.runner import make_odometry, run_sequence
+    from sage_icp_tpu.runtime.keyframes import KeyframeExtractor
+
+    odom = make_odometry(args.preset)
+    all_metrics = {}
+
+    if args.dataset == "synthetic":
+        from sage_icp_tpu.utils import synthetic
+
+        n = args.frames or 100
+        pts, labs = synthetic.build_world(seed=1, length=max(120.0, n * 1.2))
+        gt = synthetic.make_trajectory(n, step=1.0)
+        rng = np.random.default_rng(0)
+        scans = (
+            synthetic.render_scan(pts, labs, gt[i], rng, n_target=30000)
+            for i in range(n)
+        )
+        kf = KeyframeExtractor() if args.keyframes else None
+        res = run_sequence(odom, scans, gt_poses=gt, max_frames=n,
+                           keyframes=kf, progress=True, seq_name="synthetic")
+        res.save(os.path.join(args.out, "synthetic"))
+        all_metrics["synthetic"] = res.metrics()
+
+    elif args.dataset == "kitti":
+        from sage_icp_tpu.datasets.kitti import KittiOdometrySequence
+
+        for seq in args.sequences:
+            ds = KittiOdometrySequence(
+                args.root, seq, with_labels=not args.no_labels
+            )
+            kf = KeyframeExtractor() if args.keyframes else None
+            res = run_sequence(
+                odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
+                keyframes=kf, progress=True, seq_name=ds.seq,
+            )
+            res.save(os.path.join(args.out, f"seq{ds.seq}"), ds.timestamps)
+            all_metrics[ds.seq] = res.metrics()
+
+    elif args.dataset == "kitti360":
+        from sage_icp_tpu.datasets.kitti360 import Kitti360Sequence
+
+        ds = Kitti360Sequence(args.root, args.drive, args.poses_root)
+        gt = None
+        if ds.poses is not None:
+            gt = [ds.gt_pose(i) for i in range(len(ds))]
+            gt = [g for g in gt if g is not None]
+        res = run_sequence(
+            odom,
+            (ds.read_scan(i) for i in range(len(ds))),
+            gt_poses=np.stack(gt) if gt else None,
+            max_frames=args.frames,
+            progress=True,
+            seq_name=args.drive,
+        )
+        res.save(os.path.join(args.out, args.drive))
+        all_metrics[args.drive] = res.metrics()
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(all_metrics, f, indent=2)
+    print(json.dumps(all_metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Offline sequence runner — replaces the reference's ROS2 plumbing
+(odometry node + eval publisher + reinit service + SIGINT dumps) with a
+plain loop over scans. Output formats match the reference so downstream
+tooling keeps working:
+
+  * path.txt / gt_path.txt: TUM format "t x y z qx qy qz qw"
+    (reference ros/ros2/OdometryServer.cpp:326-338)
+  * time.txt: "frame t_icp t_all" per line
+    (reference OdometryServer.cpp:279-285,340-346)
+  * per-sequence reset == the reinit service (OdometryServer.cpp:259-296)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from sage_icp_tpu.models.pipeline import SageICP, SageConfig, PRESETS
+from sage_icp_tpu.metrics import kitti as metrics
+from sage_icp_tpu.ops import geometry as geo
+from sage_icp_tpu.runtime.keyframes import KeyframeExtractor
+
+
+def pose_to_tum(t: float, pose: np.ndarray) -> str:
+    import jax.numpy as jnp
+
+    q = np.asarray(geo.rotmat_to_quat(jnp.asarray(pose[:3, :3])))  # (w,x,y,z)
+    x, y, z = pose[:3, 3]
+    return f"{t} {x} {y} {z} {q[1]} {q[2]} {q[3]} {q[0]}"
+
+
+class SequenceResult:
+    def __init__(self, seq_name, est_poses, gt_poses, icp_times, total_times):
+        self.seq_name = seq_name
+        self.est_poses = est_poses
+        self.gt_poses = gt_poses
+        self.icp_times = icp_times
+        self.total_times = total_times
+
+    @property
+    def mean_total_time(self):
+        # skip warmup frames that include jit compilation
+        ts = self.total_times[2:] if len(self.total_times) > 4 else self.total_times
+        return float(np.mean(ts))
+
+    def metrics(self):
+        out = {}
+        if self.gt_poses is not None and len(self.gt_poses) == len(self.est_poses):
+            gt = np.asarray(self.gt_poses)
+            est = np.asarray(self.est_poses)
+            # normalize both to the first frame (odometry starts at I)
+            gt = np.linalg.inv(gt[0])[None] @ gt
+            t_err, r_err = metrics.seq_error(gt, est)
+            ate_rot, ate_trans = metrics.absolute_trajectory_error(gt, est)
+            out.update(
+                rel_trans_err_pct=t_err,
+                rel_rot_err_deg_per_m=r_err,
+                ate_rot_rad=ate_rot,
+                ate_trans_m=ate_trans,
+            )
+        out["mean_frame_time_s"] = self.mean_total_time
+        out["fps"] = 1.0 / max(self.mean_total_time, 1e-9)
+        return out
+
+    def save(self, out_dir: str, timestamps=None):
+        os.makedirs(out_dir, exist_ok=True)
+        n = len(self.est_poses)
+        ts = timestamps if timestamps is not None else np.arange(n, dtype=float)
+        with open(os.path.join(out_dir, "path.txt"), "w") as f:
+            for t, p in zip(ts, self.est_poses):
+                f.write(pose_to_tum(t, p) + "\n")
+        if self.gt_poses is not None:
+            with open(os.path.join(out_dir, "gt_path.txt"), "w") as f:
+                gt = np.asarray(self.gt_poses)
+                gt = np.linalg.inv(gt[0])[None] @ gt
+                for t, p in zip(ts, gt):
+                    f.write(pose_to_tum(t, p) + "\n")
+        with open(os.path.join(out_dir, "time.txt"), "w") as f:
+            for i, (ti, ta) in enumerate(zip(self.icp_times, self.total_times)):
+                f.write(f"{i} {ti} {ta}\n")
+
+
+def run_sequence(
+    odom: SageICP,
+    scans,
+    gt_poses=None,
+    timestamps_per_point=None,
+    max_frames: int | None = None,
+    keyframes: KeyframeExtractor | None = None,
+    progress: bool = False,
+    seq_name: str = "seq",
+) -> SequenceResult:
+    """Drive scans through the odometry; scans is an iterable of (n, 4)."""
+    odom.reinitialize()
+    est, icp_t, tot_t = [], [], []
+    for i, scan in enumerate(scans):
+        if max_frames is not None and i >= max_frames:
+            break
+        t0 = time.perf_counter()
+        ts = timestamps_per_point[i] if timestamps_per_point is not None else None
+        pose = odom.register_frame(scan, ts)
+        tot = time.perf_counter() - t0
+        est.append(pose)
+        icp_t.append(tot)  # per-frame host-side total; device-internal
+        tot_t.append(tot)  # phases are fused into one jitted step
+        if keyframes is not None:
+            keyframes.update(scan, pose)
+        if progress and i % 50 == 0:
+            print(f"[{seq_name}] frame {i} t={pose[:3, 3].round(2)}")
+    gt = None
+    if gt_poses is not None:
+        gt = np.asarray(gt_poses)[: len(est)]
+    return SequenceResult(seq_name, np.stack(est), gt, icp_t, tot_t)
+
+
+def make_odometry(preset_or_config) -> SageICP:
+    if isinstance(preset_or_config, SageConfig):
+        return SageICP(preset_or_config)
+    return SageICP(PRESETS[preset_or_config])
