@@ -1,0 +1,77 @@
+"""Benchmark: steady-state LiDAR odometry throughput on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec", "value": N, "unit": "scans/s", "vs_baseline": r}
+
+vs_baseline is value / 200 — the BASELINE.md north-star target of
+>200 scans/s on one TPU v5e chip (the reference system itself sustains
+~5 scans/s on the author's CPU, BASELINE.md "eval replay rate").
+
+The workload is the full semantic pipeline (KITTI preset capacities) on a
+procedurally generated urban world with ~real scan sizes; per-frame work
+(crop, class-adaptive double downsample, semantic ICP against a ~100k-voxel
+local map, map insert + cull) matches the KITTI steady state.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from sage_icp_tpu.models import pipeline as pl
+    from sage_icp_tpu.utils import synthetic
+
+    n_warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    n_points = int(os.environ.get("BENCH_POINTS", "120000"))
+
+    config = pl.SageConfig(
+        dynamic_vehicle_filter=False,  # matches the _gt variant; the
+        # clustering filter is benched separately (see docs/PERF.md)
+        min_range=2.0,
+    )
+    odom = pl.SageICP(config)
+
+    world_pts, world_labs = synthetic.build_world(seed=0, length=260.0)
+    gt = synthetic.make_trajectory(n_warmup + n_frames, step=1.0)
+    rng = np.random.default_rng(0)
+    scans = [
+        synthetic.render_scan(world_pts, world_labs, gt[i], rng, n_target=n_points)
+        for i in range(n_warmup + n_frames)
+    ]
+
+    # warmup: jit compile + map fill
+    for i in range(n_warmup):
+        odom.register_frame(scans[i])
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_frames):
+        odom.register_frame(scans[i])
+    # register_frame blocks on the pose transfer each frame, so the wall
+    # clock covers the full device pipeline
+    elapsed = time.perf_counter() - t0
+
+    scans_per_sec = n_frames / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "scans_per_sec",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
