@@ -19,6 +19,11 @@ import os
 
 import numpy as np
 
+try:  # native C++ loader (GIL-free IO + correction); numpy fallback below
+    from sage_icp_tpu import _native
+except ImportError:  # pragma: no cover - extension not built
+    _native = None
+
 VERTICAL_CORRECTION_DEG = 0.205
 
 
@@ -133,6 +138,12 @@ class KittiOdometrySequence:
         return len(self.velo_files)
 
     def read_scan(self, i: int) -> np.ndarray:
+        if _native is not None:
+            return _native.load_scan(
+                self.velo_files[i],
+                self.label_files[i] if self.with_labels else None,
+                correct=self.apply_scan_correction,
+            )
         raw = np.fromfile(self.velo_files[i], dtype=np.float32).reshape(-1, 4)
         xyz = raw[:, :3]
         if self.apply_scan_correction:

@@ -374,10 +374,17 @@ class SageICP:
         cfg = self.config
         cap = cfg.scan_capacity
         n = min(len(points), cap)
-        buf = np.full((cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
-        buf[:n] = points[:n]
-        val = np.zeros((cap,), dtype=bool)
-        val[:n] = True
+        try:
+            from sage_icp_tpu import _native
+
+            buf, val = _native.pad_scan(
+                np.ascontiguousarray(points, dtype=np.float32), cap
+            )
+        except ImportError:
+            buf = np.full((cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
+            buf[:n] = points[:n]
+            val = np.zeros((cap,), dtype=bool)
+            val[:n] = True
         ts = np.zeros((cap,), dtype=np.float32)
         if timestamps is not None:
             ts[:n] = timestamps[:n]

@@ -1,0 +1,64 @@
+"""Odometry state checkpoint/resume.
+
+The reference has no persistence at all (SURVEY.md section 5: state lives
+in RAM, only trajectory text dumps at SIGINT). For a production framework,
+long sequences / fault recovery need the full odometry state — pose
+history head, adaptive-threshold accumulators, and the entire voxel map —
+to round-trip. The state is a flat pytree of arrays, so a .npz captures it
+exactly; the trajectory log is saved alongside.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from sage_icp_tpu.models.pipeline import OdomState, SageICP, ThresholdState
+from sage_icp_tpu.ops.hashmap import MapState
+
+
+def save_state(path: str, odom: SageICP) -> None:
+    s = odom.state
+    np.savez_compressed(
+        path,
+        map_keys=np.asarray(s.map.keys),
+        map_counts=np.asarray(s.map.counts),
+        map_points=np.asarray(s.map.points),
+        last_pose=np.asarray(s.last_pose),
+        prev_pose=np.asarray(s.prev_pose),
+        first_pose=np.asarray(s.first_pose),
+        num_poses=np.asarray(s.num_poses),
+        thr_deviation=np.asarray(s.threshold.model_deviation),
+        thr_sse=np.asarray(s.threshold.sse),
+        thr_n=np.asarray(s.threshold.num_samples),
+        trajectory=np.asarray(odom.poses) if odom.poses else np.zeros((0, 4, 4)),
+    )
+
+
+def load_state(path: str, odom: SageICP) -> SageICP:
+    """Restore a checkpoint into an odometry object built with the SAME
+    config (capacities must match)."""
+    z = np.load(path)
+    assert z["map_counts"].shape[0] == odom.config.map_capacity, (
+        "checkpoint capacity mismatch"
+    )
+    odom.state = OdomState(
+        map=MapState(
+            keys=jnp.asarray(z["map_keys"]),
+            counts=jnp.asarray(z["map_counts"]),
+            points=jnp.asarray(z["map_points"]),
+        ),
+        last_pose=jnp.asarray(z["last_pose"]),
+        prev_pose=jnp.asarray(z["prev_pose"]),
+        first_pose=jnp.asarray(z["first_pose"]),
+        num_poses=jnp.asarray(z["num_poses"]),
+        threshold=ThresholdState(
+            model_deviation=jnp.asarray(z["thr_deviation"]),
+            sse=jnp.asarray(z["thr_sse"]),
+            num_samples=jnp.asarray(z["thr_n"]),
+        ),
+    )
+    odom.poses = [p for p in z["trajectory"]]
+    return odom
