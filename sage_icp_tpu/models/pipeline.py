@@ -90,6 +90,17 @@ class SageConfig:
     map_capacity: int = 262_144  # voxel slots (power of two)
     probe_depth: int = 16
     max_incoming_per_voxel: int = 24
+    # distinct voxels touched by one frame's insert (compaction bound);
+    # typical steady state is frame points / 2-4
+    insert_unique_capacity: int = 32_768
+    # TPU-optimized correspondence engine (ops/correspondence_fast.py):
+    # packed-key probe windows + unique-query-voxel compaction + MXU
+    # distance matrices. Falls back to the reference-shaped path when the
+    # map extent does not fit the 10-bit packing.
+    use_fast_correspondences: bool = True
+    corr_unique_voxel_rows: int = 4096
+    corr_queries_per_voxel: int = 8
+    corr_overflow_rows: int = 1024
     max_icp_iterations: int = 500
     dtype: str = "float32"
 
@@ -283,6 +294,20 @@ def odometry_step(
     initial_guess = jnp.matmul(last, prediction, precision="highest")
 
     # --- ICP -------------------------------------------------------------------
+    from sage_icp_tpu.ops.correspondence_fast import fast_path_supported
+
+    fast_ok = config.use_fast_correspondences and fast_path_supported(
+        config.voxel_size_map, config.local_map_range, config.max_range
+    )
+    fast_params = (
+        dict(
+            unique_voxel_rows=config.corr_unique_voxel_rows,
+            queries_per_voxel=config.corr_queries_per_voxel,
+            overflow_rows=config.corr_overflow_rows,
+        )
+        if fast_ok
+        else None
+    )
     icp = reg.register_frame(
         state.map,
         source,
@@ -294,6 +319,7 @@ def odometry_step(
         config.sem_th,
         max_iterations=config.max_icp_iterations,
         probe_depth=config.probe_depth,
+        fast_params=fast_params,
     )
     new_pose = icp.pose
 
@@ -304,6 +330,15 @@ def odometry_step(
     thr = ThresholdState(model_deviation, thr.sse, thr.num_samples)
 
     world_frame = geo.transform_points(new_pose, frame_ds)
+    insert_tables = None
+    if fast_ok:
+        from sage_icp_tpu.ops import correspondence_fast as cf
+        from sage_icp_tpu.ops.scan import trunc_div
+
+        insert_tables = cf.build_probe_tables(
+            state.map, trunc_div(new_pose[:3, 3], config.voxel_size_map),
+            config.probe_depth,
+        )
     new_map = hm.insert(
         state.map,
         world_frame,
@@ -313,6 +348,10 @@ def odometry_step(
         _basic_label_mask(config),
         max_incoming_per_voxel=config.max_incoming_per_voxel,
         probe_depth=config.probe_depth,
+        unique_voxel_capacity=min(
+            config.insert_unique_capacity, config.frame_capacity
+        ),
+        tables=insert_tables,
     )
     new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
 

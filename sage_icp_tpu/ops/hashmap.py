@@ -75,10 +75,16 @@ class MapState(NamedTuple):
         return self.points.shape[1]
 
 
+# Key sentinel for never-used slots: no real voxel coordinate can equal it
+# (truncated coords of live points are bounded by max_range / voxel_size,
+# and masked points sit at +INVALID_COORD).
+EMPTY_KEY = -(1 << 20)
+
+
 def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return MapState(
-        keys=jnp.zeros((capacity, 3), dtype=jnp.int32),
+        keys=jnp.full((capacity, 3), EMPTY_KEY, dtype=jnp.int32),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
         points=jnp.full((capacity, points_per_voxel, 4), INVALID_COORD, dtype=dtype),
     )
@@ -157,86 +163,122 @@ def insert(
     basic_label_mask: jax.Array,
     max_incoming_per_voxel: int = 24,
     probe_depth: int = DEFAULT_PROBE_DEPTH,
+    unique_voxel_capacity: int | None = None,
+    tables=None,
 ) -> MapState:
     """AddPoints with the reference's per-block retention policy.
 
     points: (N, 4) world-frame xyz+label; valid: (N,).
     basic_label_mask: bool[L] — True for labels in basic_parts_labels.
-    Policy is applied in scan order per voxel (round r processes every
-    voxel's r-th incoming point, vectorized across voxels).
+
+    Policy is applied in scan order per voxel: the incoming points are
+    sorted by voxel, each voxel's segment is identified, and round r
+    applies the r-th point of every segment simultaneously — sequential
+    semantics per voxel, full vectorization across voxels. Rounds run in a
+    while_loop bounded by the ACTUAL max points-per-voxel this frame (at
+    steady state 2-8, far below the static cap), and all per-round work
+    operates on the compacted unique-voxel arrays, not the full point set.
     """
     cap = state.capacity
     kmax = state.points_per_voxel
-    order, vkeys, head, in_rank = _unique_voxels_of_points(points, valid, voxel_size)
+    n = points.shape[0]
+    if unique_voxel_capacity is None:
+        unique_voxel_capacity = n
+    U = unique_voxel_capacity
+
+    order, vkeys, head, _ = _unique_voxels_of_points(points, valid, voxel_size)
     pts_sorted = points[order]
     val_sorted = valid[order]
 
-    # --- resolve a slot for each sorted point's voxel ---------------------
-    # Lookup on segment heads only would suffice, but a full vectorized
-    # lookup is simpler; claim phase runs on heads.
+    # --- compact unique voxels ------------------------------------------------
     head_valid = head & val_sorted
-    slot_head = lookup(state, vkeys, probe_depth)  # (N,)
-    need_claim = head_valid & (slot_head < 0)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    u_rank = jnp.cumsum(head_valid) - 1  # rank among valid heads
+    u_src = jnp.where(head_valid & (u_rank < U), u_rank, U)  # drop overflow
+    head_pos = jnp.full((U,), n, dtype=jnp.int32).at[u_src].set(
+        pos, mode="drop", unique_indices=True
+    )
+    ukeys = jnp.zeros((U, 3), dtype=jnp.int32).at[u_src].set(
+        vkeys, mode="drop", unique_indices=True
+    )
+    n_unique = jnp.sum(head_valid.astype(jnp.int32))
+    u_live = jnp.arange(U, dtype=jnp.int32) < jnp.minimum(n_unique, U)
+    # exact per-voxel incoming count: every sorted valid point scatter-adds
+    # into its segment id (non-decreasing -> sorted-indices fast path)
+    pt_u = jnp.cumsum(head_valid) - 1
+    seg_idx = jnp.where(val_sorted & (pt_u < U), pt_u, U)
+    seg_len = (
+        jnp.zeros((U,), jnp.int32)
+        .at[seg_idx]
+        .add(1, mode="drop", indices_are_sorted=True)
+    )
 
-    h = hash_keys(vkeys, cap)
+    # --- resolve a slot per unique voxel (lookup, then claim races) ---------
+    if tables is not None:
+        # packed-window probe (see ops.correspondence_fast): one wide-row
+        # gather per voxel instead of D tiny key gathers
+        from sage_icp_tpu.ops import correspondence_fast as cf
+
+        rel_u = ukeys - tables.center[None, :]
+        found_u, slots_u, _ = cf.probe(
+            tables, ukeys, cf.pack_rel(rel_u), probe_depth
+        )
+        slot_u = jnp.where(u_live & found_u, slots_u, -1)
+    else:
+        slot_u = jnp.where(u_live, lookup(state, ukeys, probe_depth), -1)
+    need_claim = u_live & (slot_u < 0)
+    h = hash_keys(ukeys, cap)
     taken = state.counts > 0  # live slots can't be claimed
-    uid = jnp.arange(points.shape[0], dtype=jnp.int32)
-    claimed_slot = jnp.where(need_claim, -1, slot_head)
+    uid = jnp.arange(U, dtype=jnp.int32)
 
     def claim_round(d, carry):
-        claimed_slot, taken = carry
-        unresolved = need_claim & (claimed_slot < 0)
+        slot_u, taken = carry
+        unresolved = need_claim & (slot_u < 0)
         s = (h + d) & (cap - 1)
         eligible = unresolved & ~taken[s]
         # scatter-min of uid resolves races between distinct voxels
         claim = jnp.full((cap,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         claim = claim.at[jnp.where(eligible, s, cap)].min(uid, mode="drop")
         won = eligible & (claim[s] == uid)
-        claimed_slot = jnp.where(won, s, claimed_slot)
-        taken = taken.at[jnp.where(won, s, cap)].set(True, mode="drop")
-        return claimed_slot, taken
+        slot_u = jnp.where(won, s, slot_u)
+        taken = taken.at[jnp.where(won, s, cap)].set(
+            True, mode="drop", unique_indices=True
+        )
+        return slot_u, taken
 
-    claimed_slot, _ = jax.lax.fori_loop(
-        0, probe_depth, claim_round, (claimed_slot, taken)
+    slot_u, _ = jax.lax.fori_loop(0, probe_depth, claim_round, (slot_u, taken))
+
+    # write the claimed keys (stale keys in reused slots are overwritten);
+    # a reused slot may hold a stale count from a culled block -> reset 0
+    newly = need_claim & (slot_u >= 0)
+    wnew = jnp.where(newly, slot_u, cap)
+    new_keys = state.keys.at[wnew].set(ukeys, mode="drop", unique_indices=True)
+    new_counts = state.counts.at[wnew].set(0, mode="drop", unique_indices=True)
+
+    has_slot = u_live & (slot_u >= 0)
+    slot_safe = jnp.where(has_slot, slot_u, cap)
+    rounds = jnp.minimum(
+        jnp.max(jnp.where(u_live, seg_len, 0)), max_incoming_per_voxel
     )
 
-    # write the claimed keys (stale keys in reused slots are overwritten)
-    newly = need_claim & (claimed_slot >= 0)
-    new_keys = state.keys.at[jnp.where(newly, claimed_slot, cap)].set(
-        vkeys, mode="drop"
-    )
-    # a reused slot may hold stale points/count from a culled block
-    new_counts = state.counts.at[jnp.where(newly, claimed_slot, cap)].set(
-        0, mode="drop"
-    )
+    # --- retention policy, one round = every voxel's r-th point -------------
+    num_labels = basic_label_mask.shape[0]
+    kidx = jnp.arange(kmax, dtype=jnp.int32)
 
-    # propagate each head's slot to its whole segment
-    seg_slot = jnp.where(head, claimed_slot, -1)
-    seg_slot = jax.lax.associative_scan(jnp.maximum, seg_slot)
-    # (maximum works: non-head entries are -1 and inherit the last head's
-    # slot; heads with no slot stay -1 and poison their own segment only,
-    # because the next head resets the running value... careful: a -1 head
-    # following a claimed head would wrongly inherit. Fix by masking below.)
-    # Correct propagation: carry the head position's slot via the seg_start
-    # trick instead.
-    pos = jnp.arange(points.shape[0], dtype=jnp.int32)
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(head, pos, 0))
-    seg_slot = claimed_slot[seg_start]
+    def policy_cond(carry):
+        r, _, _ = carry
+        return r < rounds
 
-    active = val_sorted & (seg_slot >= 0) & (in_rank < max_incoming_per_voxel)
-
-    # --- apply the retention policy round by round -------------------------
-    labels_int = jnp.clip(pts_sorted[:, 3].astype(jnp.int32), 0, basic_label_mask.shape[0] - 1)
-    is_basic = basic_label_mask[labels_int]
-
-    def policy_round(r, carry):
-        counts, blk_points = carry
-        act = active & (in_rank == r)  # at most one point per voxel
-        slot = jnp.where(act, seg_slot, cap)  # cap = dropped by mode="drop"
-        cnt = counts[jnp.minimum(slot, cap - 1)]
-        lab = labels_int
-        blk_labels = blk_points[jnp.minimum(slot, cap - 1), :, 3].astype(jnp.int32)
-        kidx = jnp.arange(kmax, dtype=jnp.int32)
+    def policy_body(carry):
+        r, counts, blk_points = carry
+        act = has_slot & (r < seg_len)
+        p = pts_sorted[jnp.minimum(head_pos + r, n - 1)]  # (U, 4)
+        lab = jnp.clip(p[:, 3].astype(jnp.int32), 0, num_labels - 1)
+        is_basic = basic_label_mask[lab]
+        slot = jnp.where(act, slot_u, cap)
+        slot_c = jnp.minimum(slot, cap - 1)
+        cnt = counts[slot_c]
+        blk_labels = blk_points[slot_c, :, 3].astype(jnp.int32)  # (U, K)
         zero_live = (blk_labels == 0) & (kidx[None, :] < cnt[:, None])
         has_zero = jnp.any(zero_live, axis=-1)
         first_zero = jnp.argmax(zero_live, axis=-1)
@@ -253,13 +295,15 @@ def insert(
         write = do_append | do_overwrite
         wslot = jnp.where(write, slot, cap)
         blk_points = blk_points.at[wslot, jnp.where(write, target, 0)].set(
-            pts_sorted, mode="drop"
+            p, mode="drop", unique_indices=True
         )
-        counts = counts.at[wslot].add(do_append.astype(jnp.int32), mode="drop")
-        return counts, blk_points
+        counts = counts.at[wslot].add(
+            do_append.astype(jnp.int32), mode="drop", unique_indices=True
+        )
+        return r + 1, counts, blk_points
 
-    new_counts, new_points = jax.lax.fori_loop(
-        0, max_incoming_per_voxel, policy_round, (new_counts, state.points)
+    _, new_counts, new_points = jax.lax.while_loop(
+        policy_cond, policy_body, (jnp.asarray(0, jnp.int32), new_counts, state.points)
     )
     return MapState(keys=new_keys, counts=new_counts, points=new_points)
 

@@ -102,12 +102,25 @@ def register_frame(
     sem_th,
     max_iterations: int = MAX_ITERATIONS,
     probe_depth: int = hm.DEFAULT_PROBE_DEPTH,
+    fast_params: dict | None = None,
 ) -> IcpResult:
     """Frame-to-map ICP (reference Registration.cpp:113-141).
 
     frame: (N, 4) in the sensor frame; valid: (N,). Returns the new pose.
+    When fast_params is given (dict with unique_voxel_rows /
+    queries_per_voxel / overflow_rows), the TPU-optimized correspondence
+    engine is used: probe tables are built once per solve (loop-invariant)
+    from the map and the initial guess position.
     """
     source0 = geo.transform_points(initial_guess, frame)
+
+    tables = None
+    if fast_params is not None:
+        from sage_icp_tpu.ops import correspondence_fast as cf
+        from sage_icp_tpu.ops.scan import trunc_div
+
+        center = trunc_div(initial_guess[:3, 3], voxel_size)
+        tables = cf.build_probe_tables(map_state, center, probe_depth)
 
     def cond(carry):
         _, _, it, last_norm, _ = carry
@@ -115,15 +128,30 @@ def register_frame(
 
     def body(carry):
         source, T_icp, it, _, _ = carry
-        tgt, accept = hm.get_correspondences(
-            map_state,
-            source,
-            valid,
-            voxel_size,
-            max_correspondence_distance,
-            sem_th,
-            probe_depth,
-        )
+        if tables is not None:
+            from sage_icp_tpu.ops import correspondence_fast as cf
+
+            tgt, accept = cf.get_correspondences_fast(
+                map_state,
+                tables,
+                source,
+                valid,
+                voxel_size,
+                max_correspondence_distance,
+                sem_th,
+                probe_depth,
+                **fast_params,
+            )
+        else:
+            tgt, accept = hm.get_correspondences(
+                map_state,
+                source,
+                valid,
+                voxel_size,
+                max_correspondence_distance,
+                sem_th,
+                probe_depth,
+            )
         JTJ, JTr = build_normal_equations(source, tgt, accept, kernel)
         # under a sharded points axis these psum over the mesh (see
         # sage_icp_tpu.parallel); single-device this is a no-op
