@@ -45,6 +45,17 @@ def correct_kitti_scan(xyz: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def azimuth_timestamps(xyz: np.ndarray) -> np.ndarray:
+    """Per-point pseudo-timestamps in [0, 1] from the scan azimuth, for
+    motion compensation when the sensor provides none. The reference's
+    deskew path consumes per-point timestamps normalized to [0, 1]
+    (ros/ros2/Utils.hpp:55-102 extracts + normalizes a time field; KITTI
+    .bin files carry none, so we reconstruct the spinning-LiDAR sweep
+    phase from the azimuth angle, the standard KISS-ICP approach)."""
+    az = -np.arctan2(xyz[:, 1], xyz[:, 0])  # HDL-64 spins clockwise
+    return (az + np.pi) / (2.0 * np.pi)
+
+
 def read_calib_file(path: str) -> dict:
     calib = {}
     with open(path) as f:
