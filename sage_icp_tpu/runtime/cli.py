@@ -20,7 +20,8 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="sage_icp_tpu odometry runner")
-    ap.add_argument("--dataset", choices=["kitti", "kitti360", "synthetic"],
+    ap.add_argument("--dataset",
+                    choices=["kitti", "kitti360", "kitti_raw", "synthetic"],
                     default="synthetic")
     ap.add_argument("--synthetic", action="store_true",
                     help="shorthand for --dataset synthetic")
@@ -28,14 +29,24 @@ def main(argv=None):
     ap.add_argument("--poses-root", type=str, default=None)
     ap.add_argument("--sequences", type=int, nargs="*", default=[0])
     ap.add_argument("--drive", type=str, default=None)
+    ap.add_argument("--date", type=str, default=None,
+                    help="raw-KITTI date dir, e.g. 2011_09_26")
     ap.add_argument("--preset", type=str, default="kitti")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", type=str, default="results")
     ap.add_argument("--keyframes", action="store_true")
     ap.add_argument("--no-labels", action="store_true")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a JAX platform (e.g. cpu, tpu); overrides "
+                    "any site-pinned default, unlike the JAX_PLATFORMS env "
+                    "var which site customization may shadow")
     args = ap.parse_args(argv)
     if args.synthetic:
         args.dataset = "synthetic"
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from sage_icp_tpu.runtime.runner import make_odometry, run_sequence
     from sage_icp_tpu.runtime.keyframes import KeyframeExtractor
@@ -93,6 +104,25 @@ def main(argv=None):
         )
         res.save(os.path.join(args.out, args.drive))
         all_metrics[args.drive] = res.metrics()
+
+    elif args.dataset == "kitti_raw":
+        from sage_icp_tpu.datasets.kitti_raw import (
+            KittiRawSequence, discover_drives,
+        )
+
+        drives = (
+            [(args.date, args.drive)]
+            if args.date and args.drive
+            else discover_drives(args.root)
+        )
+        for date, drive in drives:
+            ds = KittiRawSequence(args.root, date, drive)
+            res = run_sequence(
+                odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
+                progress=True, seq_name=f"{date}_{drive}",
+            )
+            res.save(os.path.join(args.out, f"{date}_{drive}"))
+            all_metrics[f"{date}_{drive}"] = res.metrics()
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -221,3 +221,34 @@ def test_dynamic_filter_removes_moving_keeps_parked(rng):
     assert moving_kept < 0.1, f"moving car wrongly kept ({moving_kept})"
     # non-vehicle points untouched
     assert ov[labs != 10].all()
+
+
+def test_kitti_raw_reader_roundtrip(tmp_path, rng):
+    # synthesize a mini raw drive on disk
+    from sage_icp_tpu.datasets import kitti_raw
+
+    drive_dir = tmp_path / "2011_09_26" / "2011_09_26_drive_0001_sync"
+    (drive_dir / "velodyne_points" / "data").mkdir(parents=True)
+    (drive_dir / "oxts" / "data").mkdir(parents=True)
+    n = 40
+    for i in range(3):
+        scan = rng.normal(size=(n, 4)).astype(np.float32)
+        scan.tofile(drive_dir / "velodyne_points" / "data" / f"{i:010d}.bin")
+        # lat lon alt roll pitch yaw + filler fields
+        rec = f"49.0 {8.43 + i * 1e-5} 112.8 0.0 0.0 0.1" + " 0.0" * 24
+        (drive_dir / "oxts" / "data" / f"{i:010d}.txt").write_text(rec)
+    ds = kitti_raw.KittiRawSequence(
+        str(tmp_path), "2011_09_26", "0001", apply_scan_correction=False
+    )
+    assert len(ds) == 3
+    scan = ds.read_scan(0)
+    assert scan.shape == (n, 4)
+    assert np.all(scan[:, 3] == 0.0)  # labels come from an external network
+    assert ds.gt_poses.shape == (3, 4, 4)
+    # first pose re-based to identity; eastward motion increases with lon
+    np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
+    assert ds.gt_poses[2][0, 3] != 0.0 or ds.gt_poses[2][1, 3] != 0.0
+    assert np.linalg.norm(ds.gt_poses[2][:3, 3]) > np.linalg.norm(
+        ds.gt_poses[1][:3, 3]
+    )
+    assert kitti_raw.discover_drives(str(tmp_path)) == [("2011_09_26", "0001")]
