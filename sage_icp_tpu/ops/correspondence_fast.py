@@ -110,6 +110,12 @@ def probe(
     return found, slot, cnt
 
 
+def _pallas_mode() -> str:
+    """Pick the fused-kernel mode for the current backend: compiled on
+    TPU, interpreter elsewhere (tests on the virtual CPU mesh)."""
+    return "tpu" if jax.default_backend() == "tpu" else "interpret"
+
+
 def get_correspondences_fast(
     state: hm.MapState,
     tables: ProbeTables,
@@ -122,6 +128,7 @@ def get_correspondences_fast(
     unique_voxel_rows: int = 4096,
     queries_per_voxel: int = 8,
     overflow_rows: int = 1024,
+    pallas_nn: str | None = None,  # None = auto, "off" = XLA einsum path
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in fast replacement for hm.get_correspondences. query: (N, 4).
     Returns (target (N, 4), accept (N,))."""
@@ -202,33 +209,77 @@ def get_correspondences_fast(
     cl = c_lab.reshape(R, M)
     cm = cmask.reshape(R, M)
 
-    # --- distances on the MXU: |q|^2 + |c|^2 - 2 q.c -----------------------
-    qq = jnp.sum(grid_q * grid_q, axis=-1)  # (R, P)
-    cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, M)
-    qc = jnp.einsum("rpd,rmd->rpm", grid_q, c_flat, precision="highest")
-    d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, M)
-    d2 = jnp.maximum(d2, 0.0)
+    mode = pallas_nn if pallas_nn is not None else _pallas_mode()
+    if mode != "off" and R % 128 == 0:
+        # --- fused Pallas selection: distances + semantic weighting +
+        # argmin + winner gather in VMEM, no (R, P, M) HBM temporaries
+        # (see ops/pallas_nn.py) ------------------------------------------
+        from sage_icp_tpu.ops import pallas_nn as pnn
 
-    sem = (cl[:, None, :] == grid_lab[:, :, None]) | (
-        cl[:, None, :] * grid_lab[:, :, None] == 0
-    )
-    inf = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
-    d2w = jnp.where(sem, d2 * sem_th, d2)
-    d2w = jnp.where(cm[:, None, :], d2w, inf)
+        big = jnp.asarray(1.0e7, query.dtype)  # ops.scan.INVALID_COORD
+        Mp = pnn._round_up(M, pnn.LANE)
+        pad = ((0, 0), (0, Mp - M))
 
-    best = jnp.argmin(d2w, axis=-1)  # (R, P)
-    any_cand = jnp.any(cm, axis=-1)  # (R,)
-    cand_flat4 = cand.reshape(R, M, 4)
-    tgt_grid = jnp.take_along_axis(cand_flat4, best[:, :, None], axis=1)  # (R,P,4)
+        def plane(a, fill):
+            a = jnp.where(cm, a, fill)
+            return jnp.pad(a, pad, constant_values=fill)
 
-    # unweighted acceptance distance, from the winner's actual coordinates
-    tgt_loc = tgt_grid[..., :3] - row_origin_abs[:, None, :]
-    d_true = jnp.linalg.norm(tgt_loc - grid_q, axis=-1)  # (R, P)
-    accept_grid = (
-        grid_used
-        & any_cand[:, None]
-        & (d_true < max_correspondence_distance)
-    )
+        cxp = plane(c_flat[..., 0], big)
+        cyp = plane(c_flat[..., 1], big)
+        czp = plane(c_flat[..., 2], big)
+        clp = plane(cl.astype(query.dtype), 0.0)
+        q4 = jnp.concatenate(
+            [grid_q, grid_lab.astype(query.dtype)[..., None]], axis=-1
+        ).reshape(R, 4 * grid_q.shape[1])
+        tx, ty, tz, tl, d2t = pnn.fused_semantic_nn(
+            cxp, cyp, czp, clp, q4, sem_th,
+            interpret=(mode == "interpret"),
+        )
+        # winner back to world coordinates (voxel-local + row origin)
+        tgt_grid = jnp.stack(
+            [
+                tx + row_origin_abs[:, :1],
+                ty + row_origin_abs[:, 1:2],
+                tz + row_origin_abs[:, 2:3],
+                tl,
+            ],
+            axis=-1,
+        )  # (R, P, 4)
+        # invalid/padded candidates sit at 1e7, so an empty neighborhood
+        # fails the unweighted distance gate with no explicit any_cand
+        accept_grid = grid_used & (
+            jnp.sqrt(d2t) < max_correspondence_distance
+        )
+    else:
+        # --- XLA path: distances on the MXU: |q|^2 + |c|^2 - 2 q.c --------
+        qq = jnp.sum(grid_q * grid_q, axis=-1)  # (R, P)
+        cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, M)
+        qc = jnp.einsum("rpd,rmd->rpm", grid_q, c_flat, precision="highest")
+        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, M)
+        d2 = jnp.maximum(d2, 0.0)
+
+        sem = (cl[:, None, :] == grid_lab[:, :, None]) | (
+            cl[:, None, :] * grid_lab[:, :, None] == 0
+        )
+        inf = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+        d2w = jnp.where(sem, d2 * sem_th, d2)
+        d2w = jnp.where(cm[:, None, :], d2w, inf)
+
+        best = jnp.argmin(d2w, axis=-1)  # (R, P)
+        any_cand = jnp.any(cm, axis=-1)  # (R,)
+        cand_flat4 = cand.reshape(R, M, 4)
+        tgt_grid = jnp.take_along_axis(
+            cand_flat4, best[:, :, None], axis=1
+        )  # (R,P,4)
+
+        # unweighted acceptance distance, from the winner's coordinates
+        tgt_loc = tgt_grid[..., :3] - row_origin_abs[:, None, :]
+        d_true = jnp.linalg.norm(tgt_loc - grid_q, axis=-1)  # (R, P)
+        accept_grid = (
+            grid_used
+            & any_cand[:, None]
+            & (d_true < max_correspondence_distance)
+        )
 
     # --- scatter back to original query order -------------------------------
     row_c = jnp.where(row < R, row, 0)

@@ -1,0 +1,148 @@
+"""Trustworthy phase profiling on the axon TPU tunnel: every number comes
+from N iterations chained inside ONE jitted fori_loop with a
+data-dependent carry (repeated identical dispatches are cached by the
+tunnel and block_until_ready does not synchronize — see docs/PERF.md).
+
+Phases measured at production (KITTI) capacities:
+  * full odometry step, state threaded through the loop
+  * fast-path ICP solve (register_frame with fast_params)
+  * one fast correspondence pass
+  * map insert (fast tables path) / remove_far
+"""
+
+import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sage_icp_tpu.models import pipeline as pl
+from sage_icp_tpu.ops import correspondence_fast as cf
+from sage_icp_tpu.ops import hashmap as hm
+from sage_icp_tpu.ops import registration as reg
+from sage_icp_tpu.ops import scan as scan_ops
+from sage_icp_tpu.utils import synthetic
+
+
+def chain(name, fn, *args, n=10):
+    """fn(*args) -> pytree; time n data-chained evaluations in one jit."""
+
+    @jax.jit
+    def loop(*a):
+        def body(i, carry):
+            acc, rest = carry
+            out = fn(a[0] + acc * 1e-30, *a[1:])
+            leaf = jax.tree.leaves(out)[0]
+            return (acc + leaf.reshape(-1)[0].astype(jnp.float32) * 1e-30,
+                    rest)
+
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), 0))[0]
+
+    float(loop(*args))
+    t0 = time.perf_counter()
+    float(loop(*args))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:52s} {dt*1e3:9.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    cfg = pl.SageConfig(dynamic_vehicle_filter=False, min_range=2.0)
+    print("devices:", jax.devices(), flush=True)
+
+    world_pts, world_labs = synthetic.build_world(seed=0, length=260.0)
+    gt = synthetic.make_trajectory(12, step=1.0)
+    rng = np.random.default_rng(0)
+    odom = pl.SageICP(cfg)
+    for i in range(10):
+        odom.register_frame(
+            synthetic.render_scan(world_pts, world_labs, gt[i], rng,
+                                  n_target=120000))
+    a = odom.last_aux
+    print("steady: n_ds=", int(a.num_frame_ds), "n_src=", int(a.num_source),
+          "iters=", int(a.icp_iterations), "ncorr=",
+          int(a.num_correspondences), flush=True)
+
+    state = odom.state
+    scan = synthetic.render_scan(world_pts, world_labs, gt[10], rng,
+                                 n_target=120000)
+    cap = cfg.scan_capacity
+    buf = np.full((cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
+    buf[: len(scan)] = scan
+    val = np.zeros((cap,), dtype=bool)
+    val[: len(scan)] = True
+    pts, valid = jnp.asarray(buf), jnp.asarray(val)
+    ts = jnp.zeros((cap,), jnp.float32)
+
+    # steady-state inputs for isolated phases
+    lut = scan_ops.make_label_group_lut(list(map(list, cfg.voxel_labels)))
+    sizes = jnp.asarray(cfg.voxel_size, dtype=jnp.float32)
+    (cropped, crop_valid) = jax.jit(lambda p, v: scan_ops.preprocess(
+        p, v, cfg.max_range, cfg.min_range, cfg.label_max_range))(pts, valid)
+    frame_ds, frame_valid = jax.jit(lambda p, v: scan_ops.voxel_downsample(
+        p, v, lut, sizes, 0.5, cfg.frame_capacity))(cropped, crop_valid)
+    source, source_valid = jax.jit(lambda p, v: scan_ops.voxel_downsample(
+        p, v, lut, sizes, 1.5, cfg.source_capacity))(frame_ds, frame_valid)
+    world_frame = jnp.asarray(np.asarray(frame_ds))  # already ~world frame
+
+    center = scan_ops.trunc_div(jnp.zeros(3), cfg.voxel_size_map)
+    tables = jax.jit(lambda st: cf.build_probe_tables(
+        st, center, cfg.probe_depth))(state.map)
+    fast = dict(unique_voxel_rows=cfg.corr_unique_voxel_rows,
+                queries_per_voxel=cfg.corr_queries_per_voxel,
+                overflow_rows=cfg.corr_overflow_rows)
+
+    chain("build_probe_tables", lambda k: cf.build_probe_tables(
+        state.map._replace(keys=k), center, cfg.probe_depth), state.map.keys)
+
+    chain("corr fast ONE pass (16k queries)",
+          lambda q: cf.get_correspondences_fast(
+              state.map, tables, q, source_valid, cfg.voxel_size_map,
+              0.75, cfg.sem_th, cfg.probe_depth, **fast), source)
+
+    chain("fast ICP solve (while_loop)",
+          lambda q: reg.register_frame(
+              state.map, q, source_valid, jnp.eye(4, dtype=jnp.float32),
+              cfg.voxel_size_map, 0.75, 0.08, cfg.sem_th, 500,
+              cfg.probe_depth, fast_params=fast), source, n=5)
+
+    mask = pl._basic_label_mask(cfg)
+    chain("map insert fast (65k pts, tables)",
+          lambda p: hm.insert(
+              state.map, p, frame_valid, cfg.voxel_size_map,
+              cfg.basic_points_per_voxel, mask,
+              cfg.max_incoming_per_voxel, cfg.probe_depth,
+              min(cfg.insert_unique_capacity, cfg.frame_capacity), tables),
+          world_frame, n=5)
+
+    chain("map insert slow (no tables)",
+          lambda p: hm.insert(
+              state.map, p, frame_valid, cfg.voxel_size_map,
+              cfg.basic_points_per_voxel, mask,
+              cfg.max_incoming_per_voxel, cfg.probe_depth,
+              min(cfg.insert_unique_capacity, cfg.frame_capacity), None),
+          world_frame, n=5)
+
+    # full step, state threaded (realistic steady state)
+    step = pl.make_step(cfg, donate=False)
+
+    @jax.jit
+    def full_loop(state, p, v, t):
+        def body(i, st):
+            st2, pose, _ = pl.odometry_step(st, p, v, t, config=cfg)
+            return st2
+
+        return jax.lax.fori_loop(0, 5, body, state).last_pose
+
+    jax.block_until_ready(full_loop(state, pts, valid, ts))
+    t0 = time.perf_counter()
+    np.asarray(full_loop(state, pts, valid, ts))
+    print(f"{'FULL STEP (chained x5, incl fetch)':52s} "
+          f"{(time.perf_counter() - t0) / 5 * 1e3:9.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

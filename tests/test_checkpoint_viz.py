@@ -13,6 +13,9 @@ def tiny_cfg():
         scan_capacity=4096, frame_capacity=4096, source_capacity=1024,
         map_capacity=8192, max_icp_iterations=20,
         dynamic_vehicle_filter=False, min_range=1.0,
+        corr_unique_voxel_rows=512, corr_overflow_rows=128,
+        insert_unique_capacity=2048, max_incoming_per_voxel=16,
+        probe_depth=8,
     )
 
 

@@ -20,6 +20,14 @@ def tiny_config():
         max_icp_iterations=30,
         dynamic_vehicle_filter=False,
         min_range=1.0,
+        # shrink the correspondence-engine tiles to the test scale — the
+        # production defaults (4096+1024 rows x 27K candidates) dominate
+        # CPU compile+run time without adding coverage
+        corr_unique_voxel_rows=512,
+        corr_overflow_rows=128,
+        insert_unique_capacity=2048,
+        max_incoming_per_voxel=16,
+        probe_depth=8,
     )
 
 

@@ -21,6 +21,10 @@ def small_config(**kw):
         max_icp_iterations=100,
         dynamic_vehicle_filter=False,
         min_range=1.0,
+        # test-scale correspondence tiles (see test_parallel.tiny_config)
+        corr_unique_voxel_rows=1024,
+        corr_overflow_rows=256,
+        insert_unique_capacity=4096,
     )
     defaults.update(kw)
     return pl.SageConfig(**defaults)
@@ -42,8 +46,15 @@ def run_sequence(config, world, n_frames=12, step=1.0, n_target=9000, seed=3):
     return np.stack(odom.poses), gt, odom
 
 
-def test_full_pipeline_tracks_synthetic_trajectory(world):
-    est, gt, odom = run_sequence(small_config(), world)
+@pytest.fixture(scope="module")
+def base_run(world):
+    """One shared 12-frame run of the default small config — several tests
+    assert different properties of the same trajectory."""
+    return run_sequence(small_config(), world)
+
+
+def test_full_pipeline_tracks_synthetic_trajectory(base_run, world):
+    est, gt, odom = base_run
     # relative normalization (both start near identity already)
     err = []
     for e, g in zip(est, gt):
@@ -94,9 +105,9 @@ def test_first_frame_pose_is_identity(world):
     np.testing.assert_allclose(pose, np.eye(4), atol=1e-5)
 
 
-def test_adaptive_threshold_engages(world):
-    est, gt, odom = run_sequence(small_config(min_motion_th=0.05), world, n_frames=8)
-    # after 8 frames of 1 m steps the vehicle has moved; sigma must have
+def test_adaptive_threshold_engages(base_run):
+    est, gt, odom = base_run
+    # after 12 frames of 1 m steps the vehicle has moved; sigma must have
     # adapted away from the initial threshold at least once
     assert int(odom.state.threshold.num_samples) >= 1
     assert float(odom.last_aux.sigma) != pytest.approx(2.0)
