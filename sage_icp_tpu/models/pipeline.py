@@ -308,6 +308,19 @@ def odometry_step(
         if fast_ok
         else None
     )
+    # one probe-table build per step, shared by the ICP solve and the map
+    # insert (packed offsets cover both centers: fast_path_supported bounds
+    # map extent + scan extent within the 10-bit range)
+    shared_tables = None
+    if fast_ok:
+        from sage_icp_tpu.ops import correspondence_fast as cf
+        from sage_icp_tpu.ops.scan import trunc_div
+
+        shared_tables = cf.build_probe_tables(
+            state.map,
+            trunc_div(initial_guess[:3, 3], config.voxel_size_map),
+            config.probe_depth,
+        )
     icp = reg.register_frame(
         state.map,
         source,
@@ -320,6 +333,7 @@ def odometry_step(
         max_iterations=config.max_icp_iterations,
         probe_depth=config.probe_depth,
         fast_params=fast_params,
+        tables=shared_tables,
     )
     new_pose = icp.pose
 
@@ -330,15 +344,6 @@ def odometry_step(
     thr = ThresholdState(model_deviation, thr.sse, thr.num_samples)
 
     world_frame = geo.transform_points(new_pose, frame_ds)
-    insert_tables = None
-    if fast_ok:
-        from sage_icp_tpu.ops import correspondence_fast as cf
-        from sage_icp_tpu.ops.scan import trunc_div
-
-        insert_tables = cf.build_probe_tables(
-            state.map, trunc_div(new_pose[:3, 3], config.voxel_size_map),
-            config.probe_depth,
-        )
     new_map = hm.insert(
         state.map,
         world_frame,
@@ -351,7 +356,7 @@ def odometry_step(
         unique_voxel_capacity=min(
             config.insert_unique_capacity, config.frame_capacity
         ),
-        tables=insert_tables,
+        tables=shared_tables,
     )
     new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
 

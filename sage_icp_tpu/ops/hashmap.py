@@ -141,7 +141,10 @@ def _unique_voxels_of_points(
     key_hi = jnp.where(valid, key_hi, big)
     key_lo = jnp.where(valid, key_lo, big)
     idx = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.lexsort((idx, key_lo, key_hi))
+    # one stable sort pass; iota payload = permutation (see ops/scan.py)
+    _, _, order = jax.lax.sort(
+        (key_hi, key_lo, idx), num_keys=2, is_stable=True
+    )
     kh, kl = key_hi[order], key_lo[order]
     head = jnp.concatenate(
         [jnp.array([True]), (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])]
@@ -256,29 +259,36 @@ def insert(
     new_counts = state.counts.at[wnew].set(0, mode="drop", unique_indices=True)
 
     has_slot = u_live & (slot_u >= 0)
-    slot_safe = jnp.where(has_slot, slot_u, cap)
     rounds = jnp.minimum(
         jnp.max(jnp.where(u_live, seg_len, 0)), max_incoming_per_voxel
     )
 
-    # --- retention policy, one round = every voxel's r-th point -------------
+    # --- retention policy on a COMPACT per-frame buffer ---------------------
+    # The policy rounds mutate only the <= U touched voxels; running them
+    # directly on the (C, K, 4) table makes every round rewrite a ~170 MB
+    # buffer (measured ~12 ms/round in the full step). Instead: gather the
+    # touched blocks once (wide 640 B rows, the fast gather class), run all
+    # rounds on the (U, K, 4) compact buffer, scatter back once.
     num_labels = basic_label_mask.shape[0]
     kidx = jnp.arange(kmax, dtype=jnp.int32)
+    slot_c = jnp.where(has_slot, slot_u, 0)  # safe gather index
+    points2 = state.points.reshape(cap, kmax * 4)
+    compact = points2[slot_c].reshape(U, kmax, 4)  # (U, K, 4)
+    ccounts = new_counts[slot_c]  # (U,)
+    uidx = jnp.arange(U, dtype=jnp.int32)
 
     def policy_cond(carry):
         r, _, _ = carry
         return r < rounds
 
     def policy_body(carry):
-        r, counts, blk_points = carry
+        r, ccounts, compact = carry
         act = has_slot & (r < seg_len)
         p = pts_sorted[jnp.minimum(head_pos + r, n - 1)]  # (U, 4)
         lab = jnp.clip(p[:, 3].astype(jnp.int32), 0, num_labels - 1)
         is_basic = basic_label_mask[lab]
-        slot = jnp.where(act, slot_u, cap)
-        slot_c = jnp.minimum(slot, cap - 1)
-        cnt = counts[slot_c]
-        blk_labels = blk_points[slot_c, :, 3].astype(jnp.int32)  # (U, K)
+        cnt = ccounts
+        blk_labels = compact[:, :, 3].astype(jnp.int32)  # (U, K)
         zero_live = (blk_labels == 0) & (kidx[None, :] < cnt[:, None])
         has_zero = jnp.any(zero_live, axis=-1)
         first_zero = jnp.argmax(zero_live, axis=-1)
@@ -293,17 +303,26 @@ def insert(
         do_overwrite = act & (overwrite_b | overwrite_c) & has_zero & ~drop_zero
         target = jnp.where(do_append, cnt, first_zero)
         write = do_append | do_overwrite
-        wslot = jnp.where(write, slot, cap)
-        blk_points = blk_points.at[wslot, jnp.where(write, target, 0)].set(
+        wrow = jnp.where(write, uidx, U)
+        compact = compact.at[wrow, jnp.where(write, target, 0)].set(
             p, mode="drop", unique_indices=True
         )
-        counts = counts.at[wslot].add(
-            do_append.astype(jnp.int32), mode="drop", unique_indices=True
-        )
-        return r + 1, counts, blk_points
+        ccounts = ccounts + (do_append & act).astype(jnp.int32)
+        return r + 1, ccounts, compact
 
-    _, new_counts, new_points = jax.lax.while_loop(
-        policy_cond, policy_body, (jnp.asarray(0, jnp.int32), new_counts, state.points)
+    _, ccounts, compact = jax.lax.while_loop(
+        policy_cond, policy_body, (jnp.asarray(0, jnp.int32), ccounts, compact)
+    )
+
+    # write back touched blocks (slots are unique across live rows: lookups
+    # return distinct slots for distinct keys and claim races have a single
+    # winner per slot)
+    wslot2 = jnp.where(has_slot, slot_u, cap)
+    new_points = points2.at[wslot2].set(
+        compact.reshape(U, kmax * 4), mode="drop", unique_indices=True
+    ).reshape(cap, kmax, 4)
+    new_counts = new_counts.at[wslot2].set(
+        ccounts, mode="drop", unique_indices=True
     )
     return MapState(keys=new_keys, counts=new_counts, points=new_points)
 

@@ -103,6 +103,7 @@ def register_frame(
     max_iterations: int = MAX_ITERATIONS,
     probe_depth: int = hm.DEFAULT_PROBE_DEPTH,
     fast_params: dict | None = None,
+    tables=None,
 ) -> IcpResult:
     """Frame-to-map ICP (reference Registration.cpp:113-141).
 
@@ -110,17 +111,20 @@ def register_frame(
     When fast_params is given (dict with unique_voxel_rows /
     queries_per_voxel / overflow_rows), the TPU-optimized correspondence
     engine is used: probe tables are built once per solve (loop-invariant)
-    from the map and the initial guess position.
+    from the map and the initial guess position — or reused from the
+    caller when passed in (the pipeline shares one build per step between
+    the ICP solve and the map insert).
     """
     source0 = geo.transform_points(initial_guess, frame)
 
-    tables = None
-    if fast_params is not None:
+    if fast_params is not None and tables is None:
         from sage_icp_tpu.ops import correspondence_fast as cf
         from sage_icp_tpu.ops.scan import trunc_div
 
         center = trunc_div(initial_guess[:3, 3], voxel_size)
         tables = cf.build_probe_tables(map_state, center, probe_depth)
+    if fast_params is None:
+        tables = None
 
     def cond(carry):
         _, _, it, last_norm, _ = carry

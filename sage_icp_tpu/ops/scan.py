@@ -127,8 +127,12 @@ def voxel_downsample(
     key_lo = jnp.where(in_group, key_lo, big)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Lexicographic sort by (key_hi, key_lo, idx): jnp.lexsort, last key primary.
-    order = jnp.lexsort((idx, key_lo, key_hi))
+    # ONE stable lexicographic sort pass by (key_hi, key_lo); the carried
+    # iota payload is the permutation. Stability preserves scan order
+    # within a voxel, which is what "keep the first point" relies on.
+    _, _, order = jax.lax.sort(
+        (key_hi, key_lo, idx), num_keys=2, is_stable=True
+    )
     kh = key_hi[order]
     kl = key_lo[order]
     ig = in_group[order]

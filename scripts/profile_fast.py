@@ -95,6 +95,16 @@ def main():
                 queries_per_voxel=cfg.corr_queries_per_voxel,
                 overflow_rows=cfg.corr_overflow_rows)
 
+    chain("preprocess (crop 135k)", lambda p: scan_ops.preprocess(
+        p, valid, cfg.max_range, cfg.min_range, cfg.label_max_range), pts)
+    chain("downsample 0.5x (135k->65k)", lambda p: scan_ops.voxel_downsample(
+        p, crop_valid, lut, sizes, 0.5, cfg.frame_capacity), cropped)
+    chain("downsample 1.5x (65k->16k)", lambda p: scan_ops.voxel_downsample(
+        p, frame_valid, lut, sizes, 1.5, cfg.source_capacity), frame_ds)
+    chain("remove_far", lambda c: hm.remove_far(
+        state.map._replace(counts=c), jnp.zeros(3), cfg.local_map_range),
+        state.map.counts)
+
     chain("build_probe_tables", lambda k: cf.build_probe_tables(
         state.map._replace(keys=k), center, cfg.probe_depth), state.map.keys)
 
@@ -127,21 +137,28 @@ def main():
           world_frame, n=5)
 
     # full step, state threaded (realistic steady state)
-    step = pl.make_step(cfg, donate=False)
+    def full_step_time(label, config, n=5):
+        @jax.jit
+        def full_loop(state, p, v, t):
+            def body(i, st):
+                st2, pose, _ = pl.odometry_step(st, p, v, t, config=config)
+                return st2
 
-    @jax.jit
-    def full_loop(state, p, v, t):
-        def body(i, st):
-            st2, pose, _ = pl.odometry_step(st, p, v, t, config=cfg)
-            return st2
+            return jax.lax.fori_loop(0, n, body, state).last_pose
 
-        return jax.lax.fori_loop(0, 5, body, state).last_pose
+        jax.block_until_ready(full_loop(state, pts, valid, ts))
+        t0 = time.perf_counter()
+        np.asarray(full_loop(state, pts, valid, ts))
+        print(f"{label:52s} {(time.perf_counter() - t0) / n * 1e3:9.2f} ms",
+              flush=True)
 
-    jax.block_until_ready(full_loop(state, pts, valid, ts))
-    t0 = time.perf_counter()
-    np.asarray(full_loop(state, pts, valid, ts))
-    print(f"{'FULL STEP (chained x5, incl fetch)':52s} "
-          f"{(time.perf_counter() - t0) / 5 * 1e3:9.2f} ms", flush=True)
+    import dataclasses as dc
+
+    full_step_time("FULL STEP (chained x5)", cfg)
+    full_step_time("FULL STEP max_icp_iterations=1", dc.replace(
+        cfg, max_icp_iterations=1))
+    full_step_time("FULL STEP iters=1, no insert rounds", dc.replace(
+        cfg, max_icp_iterations=1, max_incoming_per_voxel=1))
 
 
 if __name__ == "__main__":
