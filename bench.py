@@ -55,9 +55,11 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_frames):
-        odom.register_frame(scans[i])
-    # register_frame blocks on the pose transfer each frame, so the wall
-    # clock covers the full device pipeline
+        odom.register_frame(scans[i], block=False)
+    # frames pipeline on device (each step consumes the previous state);
+    # fetching the final trajectory synchronizes everything, so the wall
+    # clock covers every frame end to end
+    odom.trajectory()
     elapsed = time.perf_counter() - t0
 
     scans_per_sec = n_frames / elapsed

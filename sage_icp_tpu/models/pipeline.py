@@ -88,7 +88,10 @@ class SageConfig:
     frame_capacity: int = 65_536  # after 0.5x class-adaptive downsample
     source_capacity: int = 16_384  # after further 1.5x downsample (ICP src)
     map_capacity: int = 262_144  # voxel slots (power of two)
-    probe_depth: int = 16
+    # bounded linear-probe window. At the steady-state load factor
+    # (~30-100k live voxels in 262k slots) chains are short; 8 halves the
+    # probe-window gather (128B->64B rows) with negligible overflow risk
+    probe_depth: int = 8
     max_incoming_per_voxel: int = 24
     # distinct voxels touched by one frame's insert (compaction bound);
     # typical steady state is frame points / 2-4
@@ -395,6 +398,24 @@ def make_step(config: SageConfig, jit: bool = True, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_step_packed(config: SageConfig):
+    """Single-upload step: (state, points) -> (state', pose, aux).
+
+    The validity mask is derived on device from the pad sentinel
+    (pad_scan fills INVALID_COORD rows), so the host uploads ONE array
+    per frame instead of three — the remote-tunnel round trip per upload
+    (~15-45 ms) dominates the per-frame cost otherwise. Only valid when
+    deskew is off (timestamps all zero)."""
+    assert not config.deskew, "packed step has no timestamp input"
+
+    def fn(state, points):
+        valid = points[:, 0] < 1.0e6  # INVALID_COORD sentinel
+        ts = jnp.zeros((points.shape[0],), points.dtype)
+        return odometry_step(state, points, valid, ts, config=config)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 class SageICP:
     """Stateful convenience wrapper — the host-side equivalent of the
     reference's pipeline object (pipeline/sageICP.hpp:67-109). Handles
@@ -404,15 +425,28 @@ class SageICP:
         if isinstance(config, str):
             config = PRESETS[config]
         self.config = config
-        self._step = make_step(config)
+        # one-upload step when deskew is off: the remote-tunnel RPC per
+        # host->device transfer dominates per-frame latency otherwise
+        self._packed = not config.deskew
+        self._step = (
+            make_step_packed(config) if self._packed else make_step(config)
+        )
         self.state = init_state(config)
-        self.poses: list[np.ndarray] = []
+        self.poses: list = []  # np or device arrays (see block=)
         self.timings: list[float] = []
 
     def register_frame(
-        self, points: np.ndarray, timestamps: np.ndarray | None = None
+        self,
+        points: np.ndarray,
+        timestamps: np.ndarray | None = None,
+        block: bool = True,
     ) -> np.ndarray:
-        """points: (n, 4) float array (xyz + label); returns 4x4 pose."""
+        """points: (n, 4) float array (xyz + label); returns the 4x4 pose.
+
+        block=False returns the pose as a device array without waiting —
+        successive frames pipeline on device and only the final
+        trajectory() fetch synchronizes (the offline-throughput mode; the
+        reference's per-message loop is inherently synchronous)."""
         import time
 
         cfg = self.config
@@ -429,18 +463,30 @@ class SageICP:
             buf[:n] = points[:n]
             val = np.zeros((cap,), dtype=bool)
             val[:n] = True
-        ts = np.zeros((cap,), dtype=np.float32)
-        if timestamps is not None:
-            ts[:n] = timestamps[:n]
         t0 = time.perf_counter()
-        self.state, pose, aux = self._step(
-            self.state, jnp.asarray(buf), jnp.asarray(val), jnp.asarray(ts)
-        )
-        pose = np.asarray(pose)
+        if self._packed:
+            self.state, pose, aux = self._step(self.state, jnp.asarray(buf))
+        else:
+            ts = np.zeros((cap,), dtype=np.float32)
+            if timestamps is not None:
+                ts[:n] = timestamps[:n]
+            self.state, pose, aux = self._step(
+                self.state, jnp.asarray(buf), jnp.asarray(val), jnp.asarray(ts)
+            )
+        self._last_aux_dev = aux
+        if block:
+            pose = np.asarray(pose)
         self.timings.append(time.perf_counter() - t0)
         self.poses.append(pose)
-        self.last_aux = jax.tree.map(np.asarray, aux)
         return pose
+
+    @property
+    def last_aux(self):
+        return jax.tree.map(np.asarray, self._last_aux_dev)
+
+    def trajectory(self) -> np.ndarray:
+        """(N, 4, 4) trajectory; synchronizes any in-flight frames."""
+        return np.stack([np.asarray(p) for p in self.poses])
 
     def local_map(self) -> np.ndarray:
         pts, mask = hm.pointcloud(self.state.map)

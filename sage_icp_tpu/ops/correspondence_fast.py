@@ -62,7 +62,7 @@ class ProbeTables(NamedTuple):
 
     window: jax.Array  # int32[C, 2D]: packed keys [0:D] + counts [D:2D]
     center: jax.Array  # int32[3] the packing center voxel
-    points2: jax.Array  # f32[C, K*4] flat view of the block buffers
+    points2: jax.Array  # f32[C, 4*K] PLANAR block view [x*K | y*K | z*K | l*K]
 
 
 def build_probe_tables(
@@ -80,10 +80,17 @@ def build_probe_tables(
     )
     window = jnp.concatenate([kwin, cwin], axis=1)  # (C, 2D)
     k = state.points_per_voxel
+    # planar per-block layout: component extraction after the candidate
+    # gather becomes contiguous 40-lane slices instead of stride-4 picks
+    # (the stride-4 relayout measured ~5 ms/iteration); the transpose costs
+    # one pass over the table per STEP, amortized over all ICP iterations
+    planar = jnp.transpose(state.points, (0, 2, 1)).reshape(
+        state.capacity, 4 * k
+    )
     return ProbeTables(
         window=window,
         center=center_voxel,
-        points2=state.points.reshape(state.capacity, k * 4),
+        points2=planar,
     )
 
 
@@ -162,31 +169,50 @@ def get_correspondences_fast(
     )
     col = jnp.where(is_ov, 0, jnp.minimum(q_rank, P - 1))
 
-    # per-row voxel rel coords (scatter heads + overflow queries)
-    rel_s = rel[order]
-    row_rel = jnp.zeros((R + 1, 3), dtype=jnp.int32)
-    row_rel = row_rel.at[jnp.where(row < R, row, R)].set(rel_s, mode="drop")
-    row_live = jnp.zeros((R + 1,), dtype=bool).at[
-        jnp.where(row < R, row, R)
-    ].set(True, mode="drop")[:R]
-    row_rel = row_rel[:R]
-
-    # queries into the [R, P] grid (voxel-LOCAL f32 coordinates)
-    row_origin_abs = (row_rel + tables.center[None, :]).astype(query.dtype) * voxel_size
+    # --- grid build by GATHER, not scatter (TPU scatters run at 0.1-1 GB/s,
+    # wide-row gathers 1-40 GB/s; docs/PERF.md). Row r's queries live at
+    # sorted positions start[r] + p, so two small int scatters (head and
+    # overflow start positions) replace five (R, P)-shaped scatters. -------
     q_s = query[order]
-    row_c0 = jnp.where(row < R, row, 0)
-    q_loc = q_s[:, :3] - row_origin_abs[row_c0]
-    grid_q = jnp.zeros((R + 1, P, 3), dtype=query.dtype)
-    grid_q = grid_q.at[jnp.where(row < R, row, R), col].set(q_loc, mode="drop")
-    grid_lab = jnp.zeros((R + 1, P), dtype=jnp.int32)
-    grid_lab = grid_lab.at[jnp.where(row < R, row, R), col].set(
-        q_s[:, 3].astype(jnp.int32), mode="drop"
+    rel_s = rel[order]
+    u_src = jnp.where(head & (u_rank < Q), u_rank, Q)
+    hp = jnp.full((Q + 1,), n, jnp.int32).at[u_src].set(
+        pos, mode="drop", unique_indices=True
+    )[:Q]
+    ov_src = jnp.where(is_ov & (ov_rank < OV), ov_rank, OV)
+    op = jnp.full((OV + 1,), n, jnp.int32).at[ov_src].set(
+        pos, mode="drop", unique_indices=True
+    )[:OV]
+    start = jnp.concatenate([hp, op])  # (R,) first sorted index per row
+    row_live = start < n
+    start_c = jnp.minimum(start, n - 1)
+    row_rel = jnp.where(row_live[:, None], rel_s[start_c], 0)
+    row_origin_abs = (
+        (row_rel + tables.center[None, :]).astype(query.dtype) * voxel_size
     )
-    grid_used = jnp.zeros((R + 1, P), dtype=bool)
-    grid_used = grid_used.at[jnp.where(row < R, row, R), col].set(
-        True, mode="drop"
+
+    # one packed record per sorted query -> one wide-row gather for the grid
+    rec = jnp.concatenate(
+        [
+            q_s,  # x y z label
+            jnp.where(val_s, u_rank, -1).astype(query.dtype)[:, None],
+        ],
+        axis=1,
+    )  # (N, 5)
+    col_iota = jnp.arange(P, dtype=jnp.int32)[None, :]
+    spQ = hp[:, None] + col_iota  # (Q, P)
+    spO = jnp.where(col_iota == 0, op[:, None], n)  # (OV, P): col 0 only
+    sp = jnp.concatenate([spQ, spO], axis=0)  # (R, P)
+    oob = sp >= n
+    g = rec[jnp.minimum(sp, n - 1)]  # (R, P, 5)
+    row_uid = jnp.arange(R, dtype=jnp.int32)[:, None]  # uid = row for r < Q
+    grid_used = jnp.where(
+        row_uid < Q,
+        ~oob & (g[..., 4].astype(jnp.int32) == row_uid),
+        ~oob & row_live[:, None],
     )
-    grid_q, grid_lab, grid_used = grid_q[:R], grid_lab[:R], grid_used[:R]
+    grid_q = g[..., :3] - row_origin_abs[:, None, :]
+    grid_lab = g[..., 3].astype(jnp.int32)
 
     # --- probe the 27 neighbors of every row voxel -------------------------
     nb_rel = row_rel[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]  # (R,27,3)
@@ -196,17 +222,17 @@ def get_correspondences_fast(
     )
     found, slot, cnt = probe(tables, nb_abs, nb_code, probe_depth)  # (R,27)
 
-    # --- fetch candidate blocks (flat wide-row gather) ---------------------
+    # --- fetch candidate blocks (flat wide-row gather, PLANAR layout) -------
     flat_slot = jnp.where(found, slot, 0).reshape(-1)  # (R*27,)
-    cand = tables.points2[flat_slot].reshape(R, 27, K, 4)
-    c_xyz = cand[..., :3] - row_origin_abs[:, None, None, :]  # voxel-local
-    c_lab = cand[..., 3].astype(jnp.int32)
+    raw = tables.points2[flat_slot].reshape(R, 27, 4, K)
+    M = 27 * K
+    # contiguous K-lane slices per component (no stride-4 relayout)
+    cx_w = raw[:, :, 0, :].reshape(R, M)  # world-frame x
+    cy_w = raw[:, :, 1, :].reshape(R, M)
+    cz_w = raw[:, :, 2, :].reshape(R, M)
+    cl = raw[:, :, 3, :].reshape(R, M)
     kidx = jnp.arange(K, dtype=jnp.int32)
     cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (R,27,K)
-
-    M = 27 * K
-    c_flat = c_xyz.reshape(R, M, 3)
-    cl = c_lab.reshape(R, M)
     cm = cmask.reshape(R, M)
 
     mode = pallas_nn if pallas_nn is not None else _pallas_mode()
@@ -224,10 +250,10 @@ def get_correspondences_fast(
             a = jnp.where(cm, a, fill)
             return jnp.pad(a, pad, constant_values=fill)
 
-        cxp = plane(c_flat[..., 0], big)
-        cyp = plane(c_flat[..., 1], big)
-        czp = plane(c_flat[..., 2], big)
-        clp = plane(cl.astype(query.dtype), 0.0)
+        cxp = plane(cx_w - row_origin_abs[:, 0:1], big)
+        cyp = plane(cy_w - row_origin_abs[:, 1:2], big)
+        czp = plane(cz_w - row_origin_abs[:, 2:3], big)
+        clp = plane(cl, 0.0)
         q4 = jnp.concatenate(
             [grid_q, grid_lab.astype(query.dtype)[..., None]], axis=-1
         ).reshape(R, 4 * grid_q.shape[1])
@@ -252,14 +278,23 @@ def get_correspondences_fast(
         )
     else:
         # --- XLA path: distances on the MXU: |q|^2 + |c|^2 - 2 q.c --------
+        c_flat = jnp.stack(
+            [
+                cx_w - row_origin_abs[:, 0:1],
+                cy_w - row_origin_abs[:, 1:2],
+                cz_w - row_origin_abs[:, 2:3],
+            ],
+            axis=-1,
+        )  # (R, M, 3) voxel-local
+        cli = cl.astype(jnp.int32)
         qq = jnp.sum(grid_q * grid_q, axis=-1)  # (R, P)
         cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, M)
         qc = jnp.einsum("rpd,rmd->rpm", grid_q, c_flat, precision="highest")
         d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, M)
         d2 = jnp.maximum(d2, 0.0)
 
-        sem = (cl[:, None, :] == grid_lab[:, :, None]) | (
-            cl[:, None, :] * grid_lab[:, :, None] == 0
+        sem = (cli[:, None, :] == grid_lab[:, :, None]) | (
+            cli[:, None, :] * grid_lab[:, :, None] == 0
         )
         inf = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
         d2w = jnp.where(sem, d2 * sem_th, d2)
@@ -267,7 +302,9 @@ def get_correspondences_fast(
 
         best = jnp.argmin(d2w, axis=-1)  # (R, P)
         any_cand = jnp.any(cm, axis=-1)  # (R,)
-        cand_flat4 = cand.reshape(R, M, 4)
+        cand_flat4 = jnp.stack(
+            [cx_w, cy_w, cz_w, cl], axis=-1
+        )  # (R, M, 4) world-frame
         tgt_grid = jnp.take_along_axis(
             cand_flat4, best[:, :, None], axis=1
         )  # (R,P,4)
@@ -281,10 +318,14 @@ def get_correspondences_fast(
             & (d_true < max_correspondence_distance)
         )
 
-    # --- scatter back to original query order -------------------------------
+    # --- back to original query order: one int32 scatter builds the
+    # inverse permutation, the payloads move by gather ------------------------
     row_c = jnp.where(row < R, row, 0)
     tgt_sorted = tgt_grid[row_c, col]  # (N, 4)
     acc_sorted = jnp.where(row < R, accept_grid[row_c, col], False)
-    out_tgt = jnp.zeros((n, 4), dtype=query.dtype).at[order].set(tgt_sorted)
-    out_acc = jnp.zeros((n,), dtype=bool).at[order].set(acc_sorted)
+    inv_order = (
+        jnp.zeros((n,), jnp.int32).at[order].set(pos, unique_indices=True)
+    )
+    out_tgt = tgt_sorted[inv_order]
+    out_acc = acc_sorted[inv_order]
     return out_tgt, out_acc

@@ -276,20 +276,23 @@ def insert(
     compact = points2[slot_c].reshape(U, kmax, 4)  # (U, K, 4)
     ccounts = new_counts[slot_c]  # (U,)
     uidx = jnp.arange(U, dtype=jnp.int32)
+    # live label-0 slots, maintained INCREMENTALLY across rounds so each
+    # round touches ~(U,K) bools + one (U,4) scatter instead of re-reading
+    # the 20 MB compact buffer
+    blk_labels0 = compact[:, :, 3].astype(jnp.int32)
+    zero_live0 = (blk_labels0 == 0) & (kidx[None, :] < ccounts[:, None])
 
     def policy_cond(carry):
-        r, _, _ = carry
+        r, _, _, _ = carry
         return r < rounds
 
     def policy_body(carry):
-        r, ccounts, compact = carry
+        r, ccounts, compact, zero_live = carry
         act = has_slot & (r < seg_len)
         p = pts_sorted[jnp.minimum(head_pos + r, n - 1)]  # (U, 4)
         lab = jnp.clip(p[:, 3].astype(jnp.int32), 0, num_labels - 1)
         is_basic = basic_label_mask[lab]
         cnt = ccounts
-        blk_labels = compact[:, :, 3].astype(jnp.int32)  # (U, K)
-        zero_live = (blk_labels == 0) & (kidx[None, :] < cnt[:, None])
         has_zero = jnp.any(zero_live, axis=-1)
         first_zero = jnp.argmax(zero_live, axis=-1)
 
@@ -307,11 +310,19 @@ def insert(
         compact = compact.at[wrow, jnp.where(write, target, 0)].set(
             p, mode="drop", unique_indices=True
         )
+        # written slot becomes zero-live iff the written label is 0 (an
+        # appended unknown point); an overwrite target stops being zero
+        onehot_t = kidx[None, :] == target[:, None]
+        zero_live = jnp.where(
+            (write & act)[:, None] & onehot_t, (lab == 0)[:, None], zero_live
+        )
         ccounts = ccounts + (do_append & act).astype(jnp.int32)
-        return r + 1, ccounts, compact
+        return r + 1, ccounts, compact, zero_live
 
-    _, ccounts, compact = jax.lax.while_loop(
-        policy_cond, policy_body, (jnp.asarray(0, jnp.int32), ccounts, compact)
+    _, ccounts, compact, _ = jax.lax.while_loop(
+        policy_cond,
+        policy_body,
+        (jnp.asarray(0, jnp.int32), ccounts, compact, zero_live0),
     )
 
     # write back touched blocks (slots are unique across live rows: lookups
