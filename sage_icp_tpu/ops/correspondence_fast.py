@@ -123,22 +123,48 @@ def _pallas_mode() -> str:
     return "tpu" if jax.default_backend() == "tpu" else "interpret"
 
 
-def get_correspondences_fast(
+class CorrSetup(NamedTuple):
+    """Frozen per-solve correspondence structure: queries grouped into
+    unique-voxel rows with their 27-neighborhood candidates gathered and
+    localized ONCE. Iterating the GN loop only re-applies the running pose
+    increment to the (R, P) query grid — sort, probe, gather, and the
+    planar relayout are all loop-invariant.
+
+    Row assignment is by the query's voxel at SETUP time. A query that
+    crosses a voxel boundary during the solve ("mover") would need a
+    shifted 27-neighborhood for strict parity with the reference's
+    per-iteration re-voxelization; corr_apply detects movers and drops
+    them from that iteration (pose increments after the first iteration
+    are sub-centimeter, so movers are a vanishing fraction; the reference
+    itself truncates the search to 27 voxels of the current position)."""
+
+    cxp: jax.Array  # (R, Mp) voxel-local candidate x; invalid/pad = 1e7
+    cyp: jax.Array
+    czp: jax.Array
+    clp: jax.Array  # (R, Mp) candidate labels; pad = 0
+    q0: jax.Array  # (R, P, 4) query world xyz + label at setup
+    grid_used: jax.Array  # (R, P)
+    row_rel: jax.Array  # (R, 3) row voxel coords relative to center
+    row_origin_abs: jax.Array  # (R, 3)
+    center: jax.Array  # (3,) packing center voxel
+    order: jax.Array  # (N,) sort permutation (for unsorting results)
+    row: jax.Array  # (N,) sorted query -> row (R = dropped)
+    col: jax.Array  # (N,) sorted query -> column
+
+
+def corr_setup(
     state: hm.MapState,
     tables: ProbeTables,
     query: jax.Array,
     valid: jax.Array,
     voxel_size,
-    max_correspondence_distance,
-    sem_th,
     probe_depth: int,
     unique_voxel_rows: int = 4096,
     queries_per_voxel: int = 8,
     overflow_rows: int = 1024,
-    pallas_nn: str | None = None,  # None = auto, "off" = XLA einsum path
-) -> tuple[jax.Array, jax.Array]:
-    """Drop-in fast replacement for hm.get_correspondences. query: (N, 4).
-    Returns (target (N, 4), accept (N,))."""
+) -> CorrSetup:
+    """Group queries by voxel and gather candidate planes (loop-invariant
+    part of the search). query: (N, 4) world frame."""
     n = query.shape[0]
     K = state.points_per_voxel
     Q, P, OV = unique_voxel_rows, queries_per_voxel, overflow_rows
@@ -235,66 +261,101 @@ def get_correspondences_fast(
     cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (R,27,K)
     cm = cmask.reshape(R, M)
 
+    # --- voxel-local planes, masked and 128-padded --------------------------
+    big = jnp.asarray(1.0e7, query.dtype)  # ops.scan.INVALID_COORD
+    Mp = ((M + 127) // 128) * 128
+    pad = ((0, 0), (0, Mp - M))
+
+    def plane(a, fill):
+        a = jnp.where(cm, a, fill)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    q0 = g[..., :4]  # (R, P, 4) world coords + label at setup
+    return CorrSetup(
+        cxp=plane(cx_w - row_origin_abs[:, 0:1], big),
+        cyp=plane(cy_w - row_origin_abs[:, 1:2], big),
+        czp=plane(cz_w - row_origin_abs[:, 2:3], big),
+        clp=plane(cl, 0.0),
+        q0=q0,
+        grid_used=grid_used,
+        row_rel=row_rel,
+        row_origin_abs=row_origin_abs,
+        center=tables.center,
+        order=order,
+        row=row,
+        col=col,
+    )
+
+
+def corr_apply(
+    setup: CorrSetup,
+    T: jax.Array,
+    voxel_size,
+    max_correspondence_distance,
+    sem_th,
+    pallas_nn: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One semantic NN pass on the frozen structure. T: (4, 4) pose
+    increment since setup (identity on the first pass — then the result
+    is exactly the reference search). Returns
+    (src_world (R, P, 4), tgt_world (R, P, 4), accept (R, P))."""
+    R, P, _ = setup.q0.shape
+    dt = setup.q0.dtype
+    xyz0 = setup.q0[..., :3]
+    q_w = (
+        jnp.einsum("ij,rpj->rpi", T[:3, :3], xyz0, precision="highest")
+        + T[:3, 3][None, None, :]
+    )
+    q_loc = q_w - setup.row_origin_abs[:, None, :]
+    lab = setup.q0[..., 3]
+    # movers: queries whose CURRENT voxel differs from their setup row —
+    # their 27-neighborhood would be off-center; drop for this pass
+    moved = jnp.any(
+        trunc_div(q_w, voxel_size) - setup.center[None, None, :]
+        != setup.row_rel[:, None, :],
+        axis=-1,
+    )
+    used = setup.grid_used & ~moved
+
     mode = pallas_nn if pallas_nn is not None else _pallas_mode()
     if mode != "off" and R % 128 == 0:
-        # --- fused Pallas selection: distances + semantic weighting +
-        # argmin + winner gather in VMEM, no (R, P, M) HBM temporaries
-        # (see ops/pallas_nn.py) ------------------------------------------
+        # fused Pallas selection: distances + semantic weighting + argmin
+        # + winner gather in VMEM, no (R, P, M) HBM temporaries
         from sage_icp_tpu.ops import pallas_nn as pnn
 
-        big = jnp.asarray(1.0e7, query.dtype)  # ops.scan.INVALID_COORD
-        Mp = pnn._round_up(M, pnn.LANE)
-        pad = ((0, 0), (0, Mp - M))
-
-        def plane(a, fill):
-            a = jnp.where(cm, a, fill)
-            return jnp.pad(a, pad, constant_values=fill)
-
-        cxp = plane(cx_w - row_origin_abs[:, 0:1], big)
-        cyp = plane(cy_w - row_origin_abs[:, 1:2], big)
-        czp = plane(cz_w - row_origin_abs[:, 2:3], big)
-        clp = plane(cl, 0.0)
-        q4 = jnp.concatenate(
-            [grid_q, grid_lab.astype(query.dtype)[..., None]], axis=-1
-        ).reshape(R, 4 * grid_q.shape[1])
+        q4 = jnp.concatenate([q_loc, lab[..., None]], axis=-1).reshape(
+            R, 4 * P
+        )
         tx, ty, tz, tl, d2t = pnn.fused_semantic_nn(
-            cxp, cyp, czp, clp, q4, sem_th,
+            setup.cxp, setup.cyp, setup.czp, setup.clp, q4, sem_th,
             interpret=(mode == "interpret"),
         )
-        # winner back to world coordinates (voxel-local + row origin)
         tgt_grid = jnp.stack(
             [
-                tx + row_origin_abs[:, :1],
-                ty + row_origin_abs[:, 1:2],
-                tz + row_origin_abs[:, 2:3],
+                tx + setup.row_origin_abs[:, :1],
+                ty + setup.row_origin_abs[:, 1:2],
+                tz + setup.row_origin_abs[:, 2:3],
                 tl,
             ],
             axis=-1,
         )  # (R, P, 4)
         # invalid/padded candidates sit at 1e7, so an empty neighborhood
         # fails the unweighted distance gate with no explicit any_cand
-        accept_grid = grid_used & (
-            jnp.sqrt(d2t) < max_correspondence_distance
-        )
+        accept_grid = used & (jnp.sqrt(d2t) < max_correspondence_distance)
     else:
-        # --- XLA path: distances on the MXU: |q|^2 + |c|^2 - 2 q.c --------
-        c_flat = jnp.stack(
-            [
-                cx_w - row_origin_abs[:, 0:1],
-                cy_w - row_origin_abs[:, 1:2],
-                cz_w - row_origin_abs[:, 2:3],
-            ],
-            axis=-1,
-        )  # (R, M, 3) voxel-local
-        cli = cl.astype(jnp.int32)
-        qq = jnp.sum(grid_q * grid_q, axis=-1)  # (R, P)
-        cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, M)
-        qc = jnp.einsum("rpd,rmd->rpm", grid_q, c_flat, precision="highest")
-        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, M)
+        # XLA path: distances on the MXU: |q|^2 + |c|^2 - 2 q.c
+        c_flat = jnp.stack([setup.cxp, setup.cyp, setup.czp], axis=-1)
+        cm = setup.cxp < 1.0e6
+        cli = setup.clp.astype(jnp.int32)
+        labi = lab.astype(jnp.int32)
+        qq = jnp.sum(q_loc * q_loc, axis=-1)  # (R, P)
+        cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, Mp)
+        qc = jnp.einsum("rpd,rmd->rpm", q_loc, c_flat, precision="highest")
+        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, Mp)
         d2 = jnp.maximum(d2, 0.0)
 
-        sem = (cli[:, None, :] == grid_lab[:, :, None]) | (
-            cli[:, None, :] * grid_lab[:, :, None] == 0
+        sem = (cli[:, None, :] == labi[:, :, None]) | (
+            cli[:, None, :] * labi[:, :, None] == 0
         )
         inf = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
         d2w = jnp.where(sem, d2 * sem_th, d2)
@@ -302,29 +363,65 @@ def get_correspondences_fast(
 
         best = jnp.argmin(d2w, axis=-1)  # (R, P)
         any_cand = jnp.any(cm, axis=-1)  # (R,)
-        cand_flat4 = jnp.stack(
-            [cx_w, cy_w, cz_w, cl], axis=-1
-        )  # (R, M, 4) world-frame
-        tgt_grid = jnp.take_along_axis(
-            cand_flat4, best[:, :, None], axis=1
-        )  # (R,P,4)
-
-        # unweighted acceptance distance, from the winner's coordinates
-        tgt_loc = tgt_grid[..., :3] - row_origin_abs[:, None, :]
-        d_true = jnp.linalg.norm(tgt_loc - grid_q, axis=-1)  # (R, P)
+        cand_loc4 = jnp.stack(
+            [setup.cxp, setup.cyp, setup.czp, setup.clp], axis=-1
+        )  # (R, Mp, 4) voxel-local
+        tgt_loc4 = jnp.take_along_axis(cand_loc4, best[:, :, None], axis=1)
+        tgt_grid = jnp.concatenate(
+            [
+                tgt_loc4[..., :3] + setup.row_origin_abs[:, None, :],
+                tgt_loc4[..., 3:],
+            ],
+            axis=-1,
+        )
+        d_true = jnp.linalg.norm(tgt_loc4[..., :3] - q_loc, axis=-1)
         accept_grid = (
-            grid_used
-            & any_cand[:, None]
-            & (d_true < max_correspondence_distance)
+            used & any_cand[:, None] & (d_true < max_correspondence_distance)
         )
 
-    # --- back to original query order: one int32 scatter builds the
-    # inverse permutation, the payloads move by gather ------------------------
-    row_c = jnp.where(row < R, row, 0)
-    tgt_sorted = tgt_grid[row_c, col]  # (N, 4)
-    acc_sorted = jnp.where(row < R, accept_grid[row_c, col], False)
+    src_grid = jnp.concatenate([q_w, lab[..., None]], axis=-1)
+    return src_grid, tgt_grid, accept_grid
+
+
+def get_correspondences_fast(
+    state: hm.MapState,
+    tables: ProbeTables,
+    query: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    max_correspondence_distance,
+    sem_th,
+    probe_depth: int,
+    unique_voxel_rows: int = 4096,
+    queries_per_voxel: int = 8,
+    overflow_rows: int = 1024,
+    pallas_nn: str | None = None,  # None = auto, "off" = XLA einsum path
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in fast replacement for hm.get_correspondences. query: (N, 4).
+    Returns (target (N, 4), accept (N,)). Setup + identity apply: a single
+    pass is exactly the reference search (no query can have 'moved')."""
+    n = query.shape[0]
+    setup = corr_setup(
+        state, tables, query, valid, voxel_size, probe_depth,
+        unique_voxel_rows, queries_per_voxel, overflow_rows,
+    )
+    _, tgt_grid, accept_grid = corr_apply(
+        setup, jnp.eye(4, dtype=query.dtype), voxel_size,
+        max_correspondence_distance, sem_th, pallas_nn,
+    )
+    R = setup.grid_used.shape[0]
+    # back to original query order: one int32 scatter builds the inverse
+    # permutation, the payloads move by gather
+    row_c = jnp.where(setup.row < R, setup.row, 0)
+    tgt_sorted = tgt_grid[row_c, setup.col]  # (N, 4)
+    acc_sorted = jnp.where(
+        setup.row < R, accept_grid[row_c, setup.col], False
+    )
+    pos = jnp.arange(n, dtype=jnp.int32)
     inv_order = (
-        jnp.zeros((n,), jnp.int32).at[order].set(pos, unique_indices=True)
+        jnp.zeros((n,), jnp.int32).at[setup.order].set(
+            pos, unique_indices=True
+        )
     )
     out_tgt = tgt_sorted[inv_order]
     out_acc = acc_sorted[inv_order]

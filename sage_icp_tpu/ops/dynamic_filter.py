@@ -43,6 +43,8 @@ _VEH_VOXEL_CAP = 8192  # distinct 0.5 m voxels occupied by vehicle points
 _LMK_VOXEL_CAP = 32768  # distinct 0.5 m voxels occupied by landmark points
 _LMK_PER_VOXEL = 32  # landmark points stored per voxel
 _CC_ITERS = 24  # min-diffusion rounds (cluster diameter bound, voxels)
+_VEH_PTS_CAP = 16384  # vehicle-class points per scan (within label range)
+_LMK_PTS_CAP = 49152  # landmark-class points per scan
 
 
 def _label_in(labels: jax.Array, wanted: tuple) -> jax.Array:
@@ -53,21 +55,42 @@ def _label_in(labels: jax.Array, wanted: tuple) -> jax.Array:
     return lut[jnp.clip(labels, 0, 259)]
 
 
+def _compact(points, mask, cap):
+    """Gather masked rows to the front of a (cap, 4) buffer. Returns
+    (compacted points, compacted valid, rank (N,) = each point's row)."""
+    rank = jnp.cumsum(mask) - 1
+    src = jnp.where(mask & (rank < cap), rank, cap)
+    out = jnp.full((cap + 1, 4), INVALID_COORD, points.dtype).at[src].set(
+        points, mode="drop", unique_indices=True
+    )[:cap]
+    n_kept = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
+    out_valid = jnp.arange(cap, dtype=jnp.int32) < n_kept
+    return out, out_valid, rank
+
+
 def filter_dynamic_vehicles(points, valid, config):
     """points: (N, 4) cropped scan; valid: (N,). Returns (points, valid')
-    with moving-vehicle points masked out."""
+    with moving-vehicle points masked out.
+
+    The vehicle/landmark subsets are COMPACTED first: every expensive
+    structure (cluster grid, landmark hash, 27-voxel gathers) runs on a
+    few-k-point buffer instead of the full 135k scan — the reference's
+    PCL path likewise clusters only the vehicle extraction
+    (Preprocessing.cpp:120-140)."""
     labels = points[:, 3].astype(jnp.int32)
     vehicle_labels = tuple(config.voxel_labels[config.dynamic_vehicle_voxid])
     is_vehicle = valid & _label_in(labels, vehicle_labels)
     is_landmark = valid & _label_in(labels, tuple(config.dynamic_remove_landmark))
 
+    veh_c, veh_cvalid, vrank = _compact(points, is_vehicle, _VEH_PTS_CAP)
+    lmk_c, lmk_cvalid, _ = _compact(points, is_landmark, _LMK_PTS_CAP)
+
     # --- landmark hash: 0.5 m voxels holding up to K landmark points -----
-    lmk_pts = jnp.where(is_landmark[:, None], points, INVALID_COORD)
     lmk_map = hm.create(_LMK_VOXEL_CAP, _LMK_PER_VOXEL, points.dtype)
     lmk_map = hm.insert(
         lmk_map,
-        lmk_pts,
-        is_landmark,
+        lmk_c,
+        lmk_cvalid,
         SEARCH_RADIUS,
         basic_points=_LMK_PER_VOXEL,  # plain append-to-capacity
         basic_label_mask=jnp.zeros((260,), dtype=bool),
@@ -76,12 +99,11 @@ def filter_dynamic_vehicles(points, valid, config):
     )
 
     # --- vehicle voxel grid (keys only; slot index = voxel id) -----------
-    veh_pts = jnp.where(is_vehicle[:, None], points, INVALID_COORD)
     veh_map = hm.create(_VEH_VOXEL_CAP, 1, points.dtype)
     veh_map = hm.insert(
         veh_map,
-        veh_pts,
-        is_vehicle,
+        veh_c,
+        veh_cvalid,
         CLUSTER_TOLERANCE,
         basic_points=1,
         basic_label_mask=jnp.zeros((260,), dtype=bool),
@@ -110,11 +132,11 @@ def filter_dynamic_vehicles(points, valid, config):
 
     comp = jax.lax.fori_loop(0, _CC_ITERS, diffuse, comp0)
 
-    # per-point cluster id via the point's voxel slot
-    pv = trunc_div(points[:, :3], CLUSTER_TOLERANCE)
-    pslot = hm.lookup(veh_map, pv, probe_depth=8)  # (N,)
-    has_slot = is_vehicle & (pslot >= 0)
-    pcomp = jnp.where(has_slot, comp[jnp.clip(pslot, 0, None)], V)  # (N,)
+    # per-point cluster id via the point's voxel slot (compacted points)
+    pv = trunc_div(veh_c[:, :3], CLUSTER_TOLERANCE)
+    pslot = hm.lookup(veh_map, pv, probe_depth=8)  # (Nv,)
+    has_slot = veh_cvalid & (pslot >= 0)
+    pcomp = jnp.where(has_slot, comp[jnp.clip(pslot, 0, None)], V)  # (Nv,)
 
     # cluster sizes (points per component)
     sizes = jnp.zeros((V + 1,), dtype=jnp.int32).at[pcomp].add(
@@ -123,18 +145,18 @@ def filter_dynamic_vehicles(points, valid, config):
 
     # landmark neighbor count per vehicle point: exact radius test against
     # the 27-voxel landmark gather (reference Preprocessing.cpp:144-163)
-    qv = trunc_div(points[:, :3], SEARCH_RADIUS)
+    qv = trunc_div(veh_c[:, :3], SEARCH_RADIUS)
     qnb = qv[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]
-    lslots = hm.lookup(lmk_map, qnb, probe_depth=8)  # (N, 27)
+    lslots = hm.lookup(lmk_map, qnb, probe_depth=8)  # (Nv, 27)
     lfound = lslots >= 0
     lsafe = jnp.where(lfound, lslots, 0)
-    cand = lmk_map.points[lsafe]  # (N, 27, K, 4)
+    cand = lmk_map.points[lsafe]  # (Nv, 27, K, 4)
     ccnt = lmk_map.counts[lsafe]
     kidx = jnp.arange(_LMK_PER_VOXEL, dtype=jnp.int32)
     cmask = lfound[..., None] & (kidx[None, None, :] < ccnt[..., None])
-    d2 = jnp.sum((cand[..., :3] - points[:, None, None, :3]) ** 2, axis=-1)
+    d2 = jnp.sum((cand[..., :3] - veh_c[:, None, None, :3]) ** 2, axis=-1)
     near = cmask & (d2 <= SEARCH_RADIUS * SEARCH_RADIUS)
-    n_near = jnp.sum(near, axis=(1, 2)).astype(jnp.int32)  # (N,)
+    n_near = jnp.sum(near, axis=(1, 2)).astype(jnp.int32)  # (Nv,)
     n_near = jnp.where(has_slot, n_near, 0)
 
     # per-cluster landmark total; static iff total > dy_th * size
@@ -146,8 +168,13 @@ def filter_dynamic_vehicles(points, valid, config):
             > config.dynamic_vehicle_filter_th * sizes.astype(points.dtype)
         )
     )
+    keep_compact = has_slot & static_cluster[pcomp]  # (Nv,)
 
-    keep_vehicle = has_slot & static_cluster[pcomp]
+    # map the keep decision back to the full scan via each vehicle point's
+    # compaction rank; vehicles beyond _VEH_PTS_CAP are dropped (counted
+    # against the same conservative default as clusterless points)
+    in_cap = is_vehicle & (vrank < _VEH_PTS_CAP)
+    keep_vehicle = in_cap & keep_compact[jnp.clip(vrank, 0, _VEH_PTS_CAP - 1)]
     new_valid = valid & (~is_vehicle | keep_vehicle)
     pts = jnp.where(new_valid[:, None], points, INVALID_COORD)
     return pts, new_valid

@@ -234,8 +234,15 @@ def insert(
     taken = state.counts > 0  # live slots can't be claimed
     uid = jnp.arange(U, dtype=jnp.int32)
 
-    def claim_round(d, carry):
-        slot_u, taken = carry
+    # rounds run only while someone is unresolved: at steady state almost
+    # every arriving voxel either exists already or claims in round 0-1,
+    # so this while_loop does 1-2 iterations instead of probe_depth
+    def claim_cond(carry):
+        d, slot_u, _ = carry
+        return (d < probe_depth) & jnp.any(need_claim & (slot_u < 0))
+
+    def claim_round(carry):
+        d, slot_u, taken = carry
         unresolved = need_claim & (slot_u < 0)
         s = (h + d) & (cap - 1)
         eligible = unresolved & ~taken[s]
@@ -247,9 +254,11 @@ def insert(
         taken = taken.at[jnp.where(won, s, cap)].set(
             True, mode="drop", unique_indices=True
         )
-        return slot_u, taken
+        return d + 1, slot_u, taken
 
-    slot_u, _ = jax.lax.fori_loop(0, probe_depth, claim_round, (slot_u, taken))
+    _, slot_u, _ = jax.lax.while_loop(
+        claim_cond, claim_round, (jnp.asarray(0, jnp.int32), slot_u, taken)
+    )
 
     # write the claimed keys (stale keys in reused slots are overwritten);
     # a reused slot may hold a stale count from a culled block -> reset 0

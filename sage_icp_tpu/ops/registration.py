@@ -116,15 +116,53 @@ def register_frame(
     the ICP solve and the map insert).
     """
     source0 = geo.transform_points(initial_guess, frame)
+    eye = jnp.eye(4, dtype=frame.dtype)
 
-    if fast_params is not None and tables is None:
+    if fast_params is not None:
+        # --- frozen-rows GN loop: the sort/probe/gather/relayout structure
+        # is built ONCE from source0; each iteration only re-applies the
+        # running increment to the (R, P) query grid and runs the fused NN
+        # kernel + normal equations (queries that cross a voxel boundary
+        # mid-solve are dropped for that pass — see CorrSetup docstring)
         from sage_icp_tpu.ops import correspondence_fast as cf
         from sage_icp_tpu.ops.scan import trunc_div
 
-        center = trunc_div(initial_guess[:3, 3], voxel_size)
-        tables = cf.build_probe_tables(map_state, center, probe_depth)
-    if fast_params is None:
-        tables = None
+        if tables is None:
+            center = trunc_div(initial_guess[:3, 3], voxel_size)
+            tables = cf.build_probe_tables(map_state, center, probe_depth)
+        setup = cf.corr_setup(
+            map_state, tables, source0, valid, voxel_size, probe_depth,
+            **fast_params,
+        )
+
+        def cond_f(carry):
+            _, it, last_norm, _ = carry
+            return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
+
+        def body_f(carry):
+            T_icp, it, _, _ = carry
+            src_g, tgt_g, acc_g = cf.corr_apply(
+                setup, T_icp, voxel_size, max_correspondence_distance, sem_th
+            )
+            JTJ, JTr = build_normal_equations(
+                src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
+                acc_g.reshape(-1), kernel,
+            )
+            x = solve_increment(JTJ, JTr)
+            estimation = geo.se3_exp(x)
+            T_icp = jnp.matmul(estimation, T_icp, precision="highest")
+            ncorr = jnp.sum(acc_g.astype(jnp.int32))
+            return T_icp, it + 1, jnp.linalg.norm(x), ncorr
+
+        init = (
+            eye,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, frame.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        T_icp, iters, _, ncorr = jax.lax.while_loop(cond_f, body_f, init)
+        pose = jnp.matmul(T_icp, initial_guess, precision="highest")
+        return IcpResult(pose=pose, iterations=iters, num_correspondences=ncorr)
 
     def cond(carry):
         _, _, it, last_norm, _ = carry
@@ -132,30 +170,15 @@ def register_frame(
 
     def body(carry):
         source, T_icp, it, _, _ = carry
-        if tables is not None:
-            from sage_icp_tpu.ops import correspondence_fast as cf
-
-            tgt, accept = cf.get_correspondences_fast(
-                map_state,
-                tables,
-                source,
-                valid,
-                voxel_size,
-                max_correspondence_distance,
-                sem_th,
-                probe_depth,
-                **fast_params,
-            )
-        else:
-            tgt, accept = hm.get_correspondences(
-                map_state,
-                source,
-                valid,
-                voxel_size,
-                max_correspondence_distance,
-                sem_th,
-                probe_depth,
-            )
+        tgt, accept = hm.get_correspondences(
+            map_state,
+            source,
+            valid,
+            voxel_size,
+            max_correspondence_distance,
+            sem_th,
+            probe_depth,
+        )
         JTJ, JTr = build_normal_equations(source, tgt, accept, kernel)
         # under a sharded points axis these psum over the mesh (see
         # sage_icp_tpu.parallel); single-device this is a no-op
@@ -166,7 +189,6 @@ def register_frame(
         ncorr = jnp.sum(accept.astype(jnp.int32))
         return source, T_icp, it + 1, jnp.linalg.norm(x), ncorr
 
-    eye = jnp.eye(4, dtype=frame.dtype)
     init = (
         source0,
         eye,

@@ -91,4 +91,7 @@ class ShardedSageICP(pl.SageICP):
         config = pad_config_for_mesh(config, mesh)
         self.mesh = mesh
         super().__init__(config)
+        # the sharded step takes the full (state, points, valid, ts)
+        # signature; disable the single-upload packed fast path
+        self._packed = False
         self._step = make_sharded_step(config, mesh)
