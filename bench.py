@@ -41,7 +41,12 @@ def main():
     )
     odom = pl.SageICP(config)
 
-    world_pts, world_labs = synthetic.build_world(seed=0, length=260.0)
+    # density 2: the downsampled per-frame point count then matches the
+    # KITTI steady state (~40-60k map-frame points) instead of underfilling
+    # the KITTI-sized capacities
+    world_pts, world_labs = synthetic.build_world(
+        seed=0, length=260.0, density=float(os.environ.get("BENCH_DENSITY", "2"))
+    )
     gt = synthetic.make_trajectory(n_warmup + n_frames, step=1.0)
     rng = np.random.default_rng(0)
     scans = [

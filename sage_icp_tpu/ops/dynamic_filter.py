@@ -57,14 +57,22 @@ def _label_in(labels: jax.Array, wanted: tuple) -> jax.Array:
 
 def _compact(points, mask, cap):
     """Gather masked rows to the front of a (cap, 4) buffer. Returns
-    (compacted points, compacted valid, rank (N,) = each point's row)."""
+    (compacted points, compacted valid, rank (N,) = each point's row).
+    One small int32 scatter records source positions; the 4-lane payload
+    moves by gather (scatters are slow on TPU, docs/PERF.md)."""
+    n = points.shape[0]
     rank = jnp.cumsum(mask) - 1
     src = jnp.where(mask & (rank < cap), rank, cap)
-    out = jnp.full((cap + 1, 4), INVALID_COORD, points.dtype).at[src].set(
-        points, mode="drop", unique_indices=True
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hp = jnp.full((cap + 1,), n, jnp.int32).at[src].set(
+        pos, mode="drop", unique_indices=True
     )[:cap]
-    n_kept = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
-    out_valid = jnp.arange(cap, dtype=jnp.int32) < n_kept
+    out_valid = hp < n
+    out = jnp.where(
+        out_valid[:, None],
+        points[jnp.minimum(hp, n - 1)],
+        jnp.asarray(INVALID_COORD, points.dtype),
+    )
     return out, out_valid, rank
 
 

@@ -24,13 +24,23 @@ CAR = 10
 UNLABELED = 0
 
 
-def build_world(seed: int = 0, length: float = 300.0, half_width: float = 14.0):
+def build_world(
+    seed: int = 0,
+    length: float = 300.0,
+    half_width: float = 14.0,
+    density: float = 1.0,
+):
     """Returns (points (M,3) f32, labels (M,) int32). World frame: road
-    along +x, z up, sensor height ~1.8 m above road."""
+    along +x, z up, sensor height ~1.8 m above road. density > 1 shrinks
+    every surface's sampling step so the per-frame downsampled point count
+    matches denser real-sensor data (KITTI steady state ~40-60k points
+    after the 0.5x class downsample needs density ~2)."""
     rng = np.random.default_rng(seed)
     pts, labs = [], []
+    inv_d = 1.0 / float(density)
 
     def grid(x0, x1, y0, y1, z, step, label, jitter=0.03, zjit=0.02):
+        step = step * inv_d
         xs = np.arange(x0, x1, step)
         ys = np.arange(y0, y1, step)
         X, Y = np.meshgrid(xs, ys)
@@ -47,6 +57,7 @@ def build_world(seed: int = 0, length: float = 300.0, half_width: float = 14.0):
         labs.append(np.full(n, label, dtype=np.int32))
 
     def wall(x0, x1, y, z0, z1, step, label, jitter=0.03):
+        step = step * inv_d
         xs = np.arange(x0, x1, step)
         zs = np.arange(z0, z1, step)
         X, Z = np.meshgrid(xs, zs)
