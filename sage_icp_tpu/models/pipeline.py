@@ -416,6 +416,28 @@ def make_step_packed(config: SageConfig):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def make_chunk_step(config: SageConfig, chunk: int):
+    """Offline-throughput step: (state, scans (W, cap, 4)) ->
+    (state', poses (W, 4, 4), aux-of-last). One upload and one dispatch
+    drive W sequential frames via lax.scan — the per-frame remote-dispatch
+    overhead (~10-30 ms through the tunnel) is amortized W-fold. Frame
+    semantics are identical to W single steps (the scan carries the
+    state). Deskew off only (packed input, like make_step_packed)."""
+    assert not config.deskew, "chunked step has no timestamp input"
+
+    def fn(state, scans):
+        def body(st, pts):
+            valid = pts[:, 0] < 1.0e6
+            ts = jnp.zeros((pts.shape[0],), pts.dtype)
+            st2, pose, aux = odometry_step(st, pts, valid, ts, config=config)
+            return st2, (pose, aux)
+
+        state, (poses, auxs) = jax.lax.scan(body, state, scans)
+        return state, poses, jax.tree.map(lambda a: a[-1], auxs)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 class SageICP:
     """Stateful convenience wrapper — the host-side equivalent of the
     reference's pipeline object (pipeline/sageICP.hpp:67-109). Handles
@@ -487,6 +509,37 @@ class SageICP:
     def trajectory(self) -> np.ndarray:
         """(N, 4, 4) trajectory; synchronizes any in-flight frames."""
         return np.stack([np.asarray(p) for p in self.poses])
+
+    def register_chunk(self, scans: list[np.ndarray]) -> jax.Array:
+        """Offline mode: register len(scans) frames with ONE device
+        dispatch (lax.scan over the chunk). Appends device poses to the
+        trajectory log and returns them (W, 4, 4) without blocking."""
+        assert self._packed, "chunked mode requires deskew=False"
+        W = len(scans)
+        if not hasattr(self, "_chunk_steps"):
+            self._chunk_steps = {}
+        if W not in self._chunk_steps:
+            self._chunk_steps[W] = make_chunk_step(self.config, W)
+        cap = self.config.scan_capacity
+        buf = np.full((W, cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
+        try:
+            from sage_icp_tpu import _native
+
+            for i, s in enumerate(scans):
+                buf[i], _ = _native.pad_scan(
+                    np.ascontiguousarray(s, dtype=np.float32), cap
+                )
+        except ImportError:
+            for i, s in enumerate(scans):
+                n = min(len(s), cap)
+                buf[i, :n] = s[:n]
+        self.state, poses, aux = self._chunk_steps[W](
+            self.state, jnp.asarray(buf)
+        )
+        self._last_aux_dev = aux
+        for i in range(W):
+            self.poses.append(poses[i])
+        return poses
 
     def local_map(self) -> np.ndarray:
         pts, mask = hm.pointcloud(self.state.map)

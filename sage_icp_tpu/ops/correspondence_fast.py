@@ -177,9 +177,17 @@ def corr_setup(
     BIG = jnp.int32(2**30)
     sortcode = jnp.where(in_range, code, BIG)
 
-    order = jnp.argsort(sortcode, stable=True)  # (N,)
-    sc = sortcode[order]
-    val_s = in_range[order]
+    # payload-carrying stable sort (latency-bound: extra operands are ~free
+    # and remove the 16-byte-row query[order] gather); order is kept for
+    # the single-pass API's unsort
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sc, order, qsx, qsy, qsz, qsl = jax.lax.sort(
+        (sortcode, idx, query[:, 0], query[:, 1], query[:, 2], query[:, 3]),
+        num_keys=1,
+        is_stable=True,
+    )
+    q_s = jnp.stack([qsx, qsy, qsz, qsl], axis=-1)
+    val_s = sc != jnp.int32(2**30)
     head = jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]]) & val_s
     pos = jnp.arange(n, dtype=jnp.int32)
     seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(head, pos, 0))
@@ -199,8 +207,7 @@ def corr_setup(
     # wide-row gathers 1-40 GB/s; docs/PERF.md). Row r's queries live at
     # sorted positions start[r] + p, so two small int scatters (head and
     # overflow start positions) replace five (R, P)-shaped scatters. -------
-    q_s = query[order]
-    rel_s = rel[order]
+    rel_s = trunc_div(q_s[:, :3], voxel_size) - tables.center[None, :]
     u_src = jnp.where(head & (u_rank < Q), u_rank, Q)
     hp = jnp.full((Q + 1,), n, jnp.int32).at[u_src].set(
         pos, mode="drop", unique_indices=True
@@ -237,9 +244,6 @@ def corr_setup(
         ~oob & (g[..., 4].astype(jnp.int32) == row_uid),
         ~oob & row_live[:, None],
     )
-    grid_q = g[..., :3] - row_origin_abs[:, None, :]
-    grid_lab = g[..., 3].astype(jnp.int32)
-
     # --- probe the 27 neighbors of every row voxel -------------------------
     nb_rel = row_rel[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]  # (R,27,3)
     nb_abs = nb_rel + tables.center[None, None, :]

@@ -123,12 +123,12 @@ def lookup(
 def _unique_voxels_of_points(
     points: jax.Array, valid: jax.Array, voxel_size
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sort points by voxel, find segment heads.
+    """Sort points by voxel (carrying the point planes as sort payloads —
+    no post-sort gather), find segment heads.
 
-    Returns (order, voxel_keys_sorted (N,3), head (N,) bool, in_rank (N,))
-    where in_rank is each sorted point's arrival rank within its voxel
-    (preserves scan order — the retention policy is order-sensitive)."""
-    n = points.shape[0]
+    Returns (points_sorted (N,4), voxel_keys_sorted (N,3), head (N,) bool,
+    valid_sorted (N,)). Stability preserves scan order within a voxel —
+    the retention policy is order-sensitive."""
     v = trunc_div(points[:, :3], voxel_size)  # (N, 3)
     # Offset to a frame-local box so coords pack into sortable uint32 pairs.
     vmin = jnp.min(jnp.where(valid[:, None], v, 2**20), axis=0)
@@ -140,21 +140,19 @@ def _unique_voxels_of_points(
     big = jnp.uint32(0xFFFFFFFF)
     key_hi = jnp.where(valid, key_hi, big)
     key_lo = jnp.where(valid, key_lo, big)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # one stable sort pass; iota payload = permutation (see ops/scan.py)
-    _, _, order = jax.lax.sort(
-        (key_hi, key_lo, idx), num_keys=2, is_stable=True
+    kh, kl, sx, sy, sz, sl = jax.lax.sort(
+        (key_hi, key_lo, points[:, 0], points[:, 1], points[:, 2],
+         points[:, 3]),
+        num_keys=2,
+        is_stable=True,
     )
-    kh, kl = key_hi[order], key_lo[order]
+    pts_sorted = jnp.stack([sx, sy, sz, sl], axis=-1)
+    val_sorted = kh != big
+    vkeys_sorted = trunc_div(pts_sorted[:, :3], voxel_size)
     head = jnp.concatenate(
         [jnp.array([True]), (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])]
     )
-    # arrival rank within each voxel segment
-    pos = jnp.arange(n, dtype=jnp.int32)
-    seg_start = jnp.where(head, pos, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
-    in_rank = pos - seg_start
-    return order, v[order], head, in_rank
+    return pts_sorted, vkeys_sorted, head, val_sorted
 
 
 def insert(
@@ -189,9 +187,9 @@ def insert(
         unique_voxel_capacity = n
     U = unique_voxel_capacity
 
-    order, vkeys, head, _ = _unique_voxels_of_points(points, valid, voxel_size)
-    pts_sorted = points[order]
-    val_sorted = valid[order]
+    pts_sorted, vkeys, head, val_sorted = _unique_voxels_of_points(
+        points, valid, voxel_size
+    )
 
     # --- compact unique voxels ------------------------------------------------
     head_valid = head & val_sorted

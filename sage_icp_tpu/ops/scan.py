@@ -126,16 +126,18 @@ def voxel_downsample(
     key_hi = jnp.where(in_group, key_hi, big)
     key_lo = jnp.where(in_group, key_lo, big)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # ONE stable lexicographic sort pass by (key_hi, key_lo); the carried
-    # iota payload is the permutation. Stability preserves scan order
-    # within a voxel, which is what "keep the first point" relies on.
-    _, _, order = jax.lax.sort(
-        (key_hi, key_lo, idx), num_keys=2, is_stable=True
+    # ONE stable lexicographic sort by (key_hi, key_lo), carrying the
+    # point planes as payload operands — a 7-operand sort costs the same
+    # as a 3-operand one (latency-bound) and removes the 16-byte-row
+    # points[order] gather (~1.3 GB/s class). Stability preserves scan
+    # order within a voxel ("keep the first point").
+    kh, kl, sx, sy, sz, sl = jax.lax.sort(
+        (key_hi, key_lo, points[:, 0], points[:, 1], points[:, 2],
+         points[:, 3]),
+        num_keys=2,
+        is_stable=True,
     )
-    kh = key_hi[order]
-    kl = key_lo[order]
-    ig = in_group[order]
+    ig = kh != big  # in-group iff the key is not the invalid sentinel
     # Segment head: first occurrence of each (hi, lo).
     head = jnp.concatenate(
         [
@@ -156,7 +158,7 @@ def voxel_downsample(
         pos, mode="drop", unique_indices=True
     )[:out_capacity]
     out_val = hp < n
-    src = points[order]
+    src = jnp.stack([sx, sy, sz, sl], axis=-1)  # sorted planes
     out_pts = jnp.where(
         out_val[:, None],
         src[jnp.minimum(hp, n - 1)],

@@ -83,9 +83,7 @@ def main():
     chain("sort + unique (65k)", lambda p: s_sort(p)[1], points)
 
     def s_compact(p):
-        order, vkeys, head, _ = s_sort(p)
-        pts_sorted = p[order]
-        val_sorted = valid[order]
+        pts_sorted, vkeys, head, val_sorted = s_sort(p)
         head_valid = head & val_sorted
         pos = jnp.arange(n, dtype=jnp.int32)
         u_rank = jnp.cumsum(head_valid) - 1

@@ -111,3 +111,23 @@ def test_adaptive_threshold_engages(base_run):
     # adapted away from the initial threshold at least once
     assert int(odom.state.threshold.num_samples) >= 1
     assert float(odom.last_aux.sigma) != pytest.approx(2.0)
+
+
+def test_chunked_step_matches_single_frames(world):
+    """register_chunk (lax.scan offline mode) must produce the same
+    trajectory as frame-by-frame register_frame."""
+    pts, labs = world
+    rng = np.random.default_rng(7)
+    gt = synthetic.make_trajectory(6, step=0.8)
+    scans = [
+        synthetic.render_scan(pts, labs, gt[i], rng, n_target=6000)
+        for i in range(6)
+    ]
+    cfg = small_config()
+    a = pl.SageICP(cfg)
+    for s in scans:
+        a.register_frame(s)
+    b = pl.SageICP(cfg)
+    b.register_chunk(scans[:3])
+    b.register_chunk(scans[3:])
+    np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-5)
