@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", type=str, default="results")
     ap.add_argument("--keyframes", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="offline-throughput mode: register frames in "
+                    "device-side lax.scan chunks of this size")
     ap.add_argument("--no-labels", action="store_true")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a JAX platform (e.g. cpu, tpu); overrides "
@@ -67,7 +70,8 @@ def main(argv=None):
         )
         kf = KeyframeExtractor() if args.keyframes else None
         res = run_sequence(odom, scans, gt_poses=gt, max_frames=n,
-                           keyframes=kf, progress=True, seq_name="synthetic")
+                           keyframes=kf, progress=True, seq_name="synthetic",
+                           chunk=args.chunk)
         res.save(os.path.join(args.out, "synthetic"))
         all_metrics["synthetic"] = res.metrics()
 
@@ -82,6 +86,7 @@ def main(argv=None):
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 keyframes=kf, progress=True, seq_name=ds.seq,
+                chunk=args.chunk,
             )
             res.save(os.path.join(args.out, f"seq{ds.seq}"), ds.timestamps)
             all_metrics[ds.seq] = res.metrics()
@@ -101,6 +106,7 @@ def main(argv=None):
             max_frames=args.frames,
             progress=True,
             seq_name=args.drive,
+            chunk=args.chunk,
         )
         res.save(os.path.join(args.out, args.drive))
         all_metrics[args.drive] = res.metrics()
@@ -120,6 +126,7 @@ def main(argv=None):
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 progress=True, seq_name=f"{date}_{drive}",
+                chunk=args.chunk,
             )
             res.save(os.path.join(args.out, f"{date}_{drive}"))
             all_metrics[f"{date}_{drive}"] = res.metrics()

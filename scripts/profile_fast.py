@@ -154,11 +154,36 @@ def main():
 
     import dataclasses as dc
 
-    full_step_time("FULL STEP (chained x5)", cfg)
+    full_step_time("FULL STEP (chained x5, same scan)", cfg)
     full_step_time("FULL STEP max_icp_iterations=1", dc.replace(
         cfg, max_icp_iterations=1))
     full_step_time("FULL STEP iters=1, no insert rounds", dc.replace(
         cfg, max_icp_iterations=1, max_incoming_per_voxel=1))
+
+    # honest moving-trajectory steady state: 10 REAL consecutive scans
+    # through the chunked step (new voxels claimed, map culled, real
+    # iteration counts)
+    gt2 = synthetic.make_trajectory(22, step=1.0)
+    movbuf = np.full((10, cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
+    for i in range(10):
+        s = synthetic.render_scan(world_pts, world_labs, gt2[10 + i], rng,
+                                  n_target=120000)
+        movbuf[i, : len(s)] = s[: cap]
+    # compile on a throwaway copy, then time on a fresh copy so the chunk
+    # progresses from the right state (re-registering stale scans against a
+    # future state blows up the ICP iteration count and is NOT steady state)
+    chunk_step = pl.make_chunk_step(cfg, 10)
+    stA = jax.tree.map(jnp.copy, state)
+    _, poses, _ = chunk_step(stA, jnp.asarray(movbuf))
+    jax.block_until_ready(poses)
+    stB = jax.tree.map(jnp.copy, state)
+    dev_scans = jnp.asarray(movbuf)
+    jax.block_until_ready(dev_scans)
+    t0 = time.perf_counter()
+    _, poses, _ = chunk_step(stB, dev_scans)
+    np.asarray(poses[-1])
+    print(f"{'FULL STEP (chunk of 10 MOVING scans)':52s} "
+          f"{(time.perf_counter() - t0) / 10 * 1e3:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
