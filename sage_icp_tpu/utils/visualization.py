@@ -54,3 +54,60 @@ def dump_local_map(path: str, odom) -> int:
     pts = odom.local_map()
     write_ply(path, pts)
     return len(pts)
+
+
+def project_to_image(
+    points: np.ndarray,
+    T_cam_from_lidar: np.ndarray,
+    P_rect: np.ndarray,
+    image_shape: tuple,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project a (n, >=3) LiDAR scan into a rectified camera.
+
+    T_cam_from_lidar: (4, 4) extrinsic (KITTI: R_rect @ Tr_velo_to_cam);
+    P_rect: (3, 4) projection (KITTI P2); image_shape: (h, w).
+    Returns (uv (n, 2) float pixel coords, mask (n,) in-front + in-bounds).
+    Offline counterpart of the reference's camera replay publishers
+    (eval/kittiraw_image_pub.py, eval/kitti360_image_pub copy.py), which
+    stream /image_raw for rviz side-by-side inspection.
+    """
+    n = len(points)
+    xyz1 = np.concatenate(
+        [points[:, :3], np.ones((n, 1), points.dtype)], axis=1
+    )
+    cam = xyz1 @ T_cam_from_lidar.T  # (n, 4)
+    z = cam[:, 2]
+    pix = cam @ P_rect.T  # (n, 3)
+    uv = pix[:, :2] / np.maximum(pix[:, 2:3], 1e-9)
+    h, w = image_shape[:2]
+    mask = (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < w) & (
+        uv[:, 1] >= 0
+    ) & (uv[:, 1] < h)
+    return uv, mask
+
+
+def overlay_scan_on_image(
+    image: np.ndarray,
+    points: np.ndarray,
+    T_cam_from_lidar: np.ndarray,
+    P_rect: np.ndarray,
+    radius: int = 1,
+) -> np.ndarray:
+    """Paint label-colored scan points onto an (h, w, 3) uint8 image copy."""
+    out = image.copy()
+    uv, mask = project_to_image(points, T_cam_from_lidar, P_rect, image.shape)
+    colors = (
+        label_colors_rgb_u8(points[:, 3])
+        if points.shape[1] >= 4
+        else np.full((len(points), 3), 255, np.uint8)
+    )
+    u = uv[mask, 0].astype(int)
+    v = uv[mask, 1].astype(int)
+    c = colors[mask]
+    h, w = image.shape[:2]
+    for du in range(-radius, radius + 1):
+        for dv in range(-radius, radius + 1):
+            uu = np.clip(u + du, 0, w - 1)
+            vv = np.clip(v + dv, 0, h - 1)
+            out[vv, uu] = c
+    return out

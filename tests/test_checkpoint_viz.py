@@ -54,3 +54,26 @@ def test_ply_dump(tmp_path, rng):
     # header + 100 * 15-byte records
     header_end = data.index(b"end_header\n") + len(b"end_header\n")
     assert len(data) - header_end == 100 * 15
+
+
+def test_project_to_image():
+    from sage_icp_tpu.utils import visualization as viz
+
+    # camera at origin looking down +z of its own frame; lidar frame = cam
+    T = np.eye(4)
+    f, cx, cy = 100.0, 64.0, 48.0
+    P = np.array([[f, 0, cx, 0], [0, f, cy, 0], [0, 0, 1, 0]])
+    pts = np.array([
+        [0.0, 0.0, 10.0, 40.0],   # straight ahead -> principal point
+        [1.0, 0.0, 10.0, 40.0],   # 1m right at 10m -> +10px in u
+        [0.0, 0.0, -5.0, 40.0],   # behind the camera -> masked
+    ])
+    uv, mask = viz.project_to_image(pts, T, P, (96, 128))
+    assert mask.tolist() == [True, True, False]
+    np.testing.assert_allclose(uv[0], [cx, cy], atol=1e-6)
+    np.testing.assert_allclose(uv[1], [cx + 10.0, cy], atol=1e-6)
+
+    img = np.zeros((96, 128, 3), np.uint8)
+    out = viz.overlay_scan_on_image(img, pts, T, P, radius=0)
+    assert out[int(cy), int(cx)].any()  # painted with the label color
+    assert not img.any()  # original untouched
