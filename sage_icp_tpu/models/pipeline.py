@@ -510,17 +510,10 @@ class SageICP:
         """(N, 4, 4) trajectory; synchronizes any in-flight frames."""
         return np.stack([np.asarray(p) for p in self.poses])
 
-    def register_chunk(self, scans: list[np.ndarray]) -> jax.Array:
-        """Offline mode: register len(scans) frames with ONE device
-        dispatch (lax.scan over the chunk). Appends device poses to the
-        trajectory log and returns them (W, 4, 4) without blocking."""
-        assert self._packed, "chunked mode requires deskew=False"
-        W = len(scans)
-        if not hasattr(self, "_chunk_steps"):
-            self._chunk_steps = {}
-        if W not in self._chunk_steps:
-            self._chunk_steps[W] = make_chunk_step(self.config, W)
+    def pad_chunk(self, scans: list[np.ndarray]) -> np.ndarray:
+        """(W, scan_capacity, 4) padded host buffer for register_chunk."""
         cap = self.config.scan_capacity
+        W = len(scans)
         buf = np.full((W, cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
         try:
             from sage_icp_tpu import _native
@@ -533,9 +526,27 @@ class SageICP:
             for i, s in enumerate(scans):
                 n = min(len(s), cap)
                 buf[i, :n] = s[:n]
-        self.state, poses, aux = self._chunk_steps[W](
-            self.state, jnp.asarray(buf)
-        )
+        return buf
+
+    def register_chunk(self, scans) -> jax.Array:
+        """Offline mode: register a chunk of frames with ONE device
+        dispatch (lax.scan over the chunk). Appends device poses to the
+        trajectory log and returns them (W, 4, 4) without blocking.
+
+        scans: a list of (n, 4) arrays, a padded (W, cap, 4) host buffer
+        from pad_chunk, or a pre-staged device array (jax.device_put of a
+        padded buffer) — pre-staging lets the host overlap the next
+        chunk's upload with the current chunk's compute."""
+        assert self._packed, "chunked mode requires deskew=False"
+        if isinstance(scans, list):
+            scans = self.pad_chunk(scans)
+        dev = jnp.asarray(scans)  # no-op for already-staged device arrays
+        W = dev.shape[0]
+        if not hasattr(self, "_chunk_steps"):
+            self._chunk_steps = {}
+        if W not in self._chunk_steps:
+            self._chunk_steps[W] = make_chunk_step(self.config, W)
+        self.state, poses, aux = self._chunk_steps[W](self.state, dev)
         self._last_aux_dev = aux
         for i in range(W):
             self.poses.append(poses[i])

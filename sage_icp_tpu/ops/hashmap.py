@@ -65,6 +65,9 @@ class MapState(NamedTuple):
     keys: jax.Array  # int32[C, 3]
     counts: jax.Array  # int32[C]
     points: jax.Array  # f32[C, K, 4]
+    # each block's FIRST point, kept as a side table so the distance cull
+    # (remove_far) reads 3 MB instead of striding the whole block buffer
+    first_pts: jax.Array  # f32[C, 3]
 
     @property
     def capacity(self) -> int:
@@ -87,6 +90,7 @@ def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
         keys=jnp.full((capacity, 3), EMPTY_KEY, dtype=jnp.int32),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
         points=jnp.full((capacity, points_per_voxel, 4), INVALID_COORD, dtype=dtype),
+        first_pts=jnp.full((capacity, 3), INVALID_COORD, dtype=dtype),
     )
 
 
@@ -199,9 +203,8 @@ def insert(
     head_pos = jnp.full((U,), n, dtype=jnp.int32).at[u_src].set(
         pos, mode="drop", unique_indices=True
     )
-    ukeys = jnp.zeros((U, 3), dtype=jnp.int32).at[u_src].set(
-        vkeys, mode="drop", unique_indices=True
-    )
+    # unique keys by GATHER from the head positions (scatters are slow)
+    ukeys = vkeys[jnp.minimum(head_pos, n - 1)]
     n_unique = jnp.sum(head_valid.astype(jnp.int32))
     u_live = jnp.arange(U, dtype=jnp.int32) < jnp.minimum(n_unique, U)
     # exact per-voxel incoming count: every sorted valid point scatter-adds
@@ -341,13 +344,19 @@ def insert(
     new_counts = new_counts.at[wslot2].set(
         ccounts, mode="drop", unique_indices=True
     )
-    return MapState(keys=new_keys, counts=new_counts, points=new_points)
+    new_first = state.first_pts.at[wslot2].set(
+        compact[:, 0, :3], mode="drop", unique_indices=True
+    )
+    return MapState(
+        keys=new_keys, counts=new_counts, points=new_points,
+        first_pts=new_first,
+    )
 
 
 def remove_far(state: MapState, origin: jax.Array, max_distance) -> MapState:
     """Erase blocks whose FIRST point is > max_distance from origin
     (reference VoxelHashMap.cpp:176-184)."""
-    first = state.points[:, 0, :3]
+    first = state.first_pts
     d2 = jnp.sum((first - origin[None, :]) ** 2, axis=-1)
     live = state.counts > 0
     kill = live & (d2 > max_distance * max_distance)

@@ -26,6 +26,7 @@ def save_state(path: str, odom: SageICP) -> None:
         map_keys=np.asarray(s.map.keys),
         map_counts=np.asarray(s.map.counts),
         map_points=np.asarray(s.map.points),
+        map_first=np.asarray(s.map.first_pts),
         last_pose=np.asarray(s.last_pose),
         prev_pose=np.asarray(s.prev_pose),
         first_pose=np.asarray(s.first_pose),
@@ -49,6 +50,12 @@ def load_state(path: str, odom: SageICP) -> SageICP:
             keys=jnp.asarray(z["map_keys"]),
             counts=jnp.asarray(z["map_counts"]),
             points=jnp.asarray(z["map_points"]),
+            first_pts=jnp.asarray(
+                z["map_first"]
+                if "map_first" in z
+                # older checkpoints: derive from the block buffers
+                else z["map_points"][:, 0, :3]
+            ),
         ),
         last_pose=jnp.asarray(z["last_pose"]),
         prev_pose=jnp.asarray(z["prev_pose"]),

@@ -22,7 +22,7 @@ from sage_icp_tpu.ops.scan import trunc_div
 from sage_icp_tpu.utils import synthetic
 
 
-def chain(name, fn, *args, n=10):
+def chain(name, fn, *args, n=50):
     @jax.jit
     def loop(*a):
         def body(i, acc):

@@ -27,7 +27,7 @@ from sage_icp_tpu.ops import scan as scan_ops
 from sage_icp_tpu.utils import synthetic
 
 
-def chain(name, fn, *args, n=10):
+def chain(name, fn, *args, n=50):
     """fn(*args) -> pytree; time n data-chained evaluations in one jit."""
 
     @jax.jit
@@ -117,7 +117,7 @@ def main():
           lambda q: reg.register_frame(
               state.map, q, source_valid, jnp.eye(4, dtype=jnp.float32),
               cfg.voxel_size_map, 0.75, 0.08, cfg.sem_th, 500,
-              cfg.probe_depth, fast_params=fast), source, n=5)
+              cfg.probe_depth, fast_params=fast), source, n=20)
 
     mask = pl._basic_label_mask(cfg)
     chain("map insert fast (65k pts, tables)",
@@ -126,7 +126,7 @@ def main():
               cfg.basic_points_per_voxel, mask,
               cfg.max_incoming_per_voxel, cfg.probe_depth,
               min(cfg.insert_unique_capacity, cfg.frame_capacity), tables),
-          world_frame, n=5)
+          world_frame, n=20)
 
     chain("map insert slow (no tables)",
           lambda p: hm.insert(
@@ -134,10 +134,10 @@ def main():
               cfg.basic_points_per_voxel, mask,
               cfg.max_incoming_per_voxel, cfg.probe_depth,
               min(cfg.insert_unique_capacity, cfg.frame_capacity), None),
-          world_frame, n=5)
+          world_frame, n=20)
 
     # full step, state threaded (realistic steady state)
-    def full_step_time(label, config, n=5):
+    def full_step_time(label, config, n=20):
         @jax.jit
         def full_loop(state, p, v, t):
             def body(i, st):
@@ -172,18 +172,25 @@ def main():
     # compile on a throwaway copy, then time on a fresh copy so the chunk
     # progresses from the right state (re-registering stale scans against a
     # future state blows up the ICP iteration count and is NOT steady state)
-    chunk_step = pl.make_chunk_step(cfg, 10)
-    stA = jax.tree.map(jnp.copy, state)
-    _, poses, _ = chunk_step(stA, jnp.asarray(movbuf))
-    jax.block_until_ready(poses)
-    stB = jax.tree.map(jnp.copy, state)
-    dev_scans = jnp.asarray(movbuf)
-    jax.block_until_ready(dev_scans)
-    t0 = time.perf_counter()
-    _, poses, _ = chunk_step(stB, dev_scans)
-    np.asarray(poses[-1])
-    print(f"{'FULL STEP (chunk of 10 MOVING scans)':52s} "
-          f"{(time.perf_counter() - t0) / 10 * 1e3:9.2f} ms", flush=True)
+    def moving(label, config):
+        chunk_step = pl.make_chunk_step(config, 10)
+        stA = jax.tree.map(jnp.copy, state)
+        _, poses, _ = chunk_step(stA, jnp.asarray(movbuf))
+        jax.block_until_ready(poses)
+        stB = jax.tree.map(jnp.copy, state)
+        dev_scans = jnp.asarray(movbuf)
+        jax.block_until_ready(dev_scans)
+        t0 = time.perf_counter()
+        _, poses, aux = chunk_step(stB, dev_scans)
+        np.asarray(poses[-1])
+        dt = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"{label:52s} {dt:9.2f} ms   (iters last={int(aux.icp_iterations)})",
+              flush=True)
+
+    moving("MOVING chunk x10 (full)", cfg)
+    moving("MOVING chunk x10 iters=1", dc.replace(cfg, max_icp_iterations=1))
+    moving("MOVING chunk x10 iters=1 rounds=1", dc.replace(
+        cfg, max_icp_iterations=1, max_incoming_per_voxel=1))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ from sage_icp_tpu.ops.scan import trunc_div
 from sage_icp_tpu.utils import synthetic
 
 
-def chain(name, fn, *args, n=10):
+def chain(name, fn, *args, n=50):
     @jax.jit
     def loop(*a):
         def body(i, acc):
@@ -147,7 +147,7 @@ def main():
                          probe_depth, U, tables)
 
     chain("FULL insert (rounds + write-back)", lambda p: s_full(p).counts,
-          points, n=5)
+          points, n=20)
 
     # write-back scatter alone, at the same shapes
     compact = jnp.asarray(
@@ -159,7 +159,7 @@ def main():
     def s_wb(c2):
         return points2.at[wslot].set(c2, mode="drop", unique_indices=True)
 
-    chain("write-back scatter alone (U=32k x 640B)", s_wb, compact, n=5)
+    chain("write-back scatter alone (U=32k x 640B)", s_wb, compact, n=20)
 
 
 if __name__ == "__main__":
