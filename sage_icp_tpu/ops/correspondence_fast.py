@@ -138,10 +138,10 @@ class CorrSetup(NamedTuple):
     are sub-centimeter, so movers are a vanishing fraction; the reference
     itself truncates the search to 27 voxels of the current position)."""
 
-    cxp: jax.Array  # (R, Mp) voxel-local candidate x; invalid/pad = 1e7
-    cyp: jax.Array
+    cxp: jax.Array  # (R, M) WORLD-frame candidate x; invalid = 1e7
+    cyp: jax.Array  # (R, M) world y (unmasked; x carries the sentinel)
     czp: jax.Array
-    clp: jax.Array  # (R, Mp) candidate labels; pad = 0
+    clp: jax.Array  # (R, M) candidate labels
     q0: jax.Array  # (R, P, 4) query world xyz + label at setup
     grid_used: jax.Array  # (R, P)
     row_rel: jax.Array  # (R, 3) row voxel coords relative to center
@@ -265,21 +265,18 @@ def corr_setup(
     cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (R,27,K)
     cm = cmask.reshape(R, M)
 
-    # --- voxel-local planes, masked and 128-padded --------------------------
+    # --- candidate planes stay in WORLD frame: the kernel computes
+    # difference-form distances (|c - q|, exact in f32 at map scales), so
+    # no per-row localization pass is needed. Only the X plane carries the
+    # invalid-candidate sentinel — a masked x of 1e7 makes d2 ~ 1e14,
+    # losing every argmin and failing the acceptance gate. ------------------
     big = jnp.asarray(1.0e7, query.dtype)  # ops.scan.INVALID_COORD
-    Mp = ((M + 127) // 128) * 128
-    pad = ((0, 0), (0, Mp - M))
-
-    def plane(a, fill):
-        a = jnp.where(cm, a, fill)
-        return jnp.pad(a, pad, constant_values=fill)
-
     q0 = g[..., :4]  # (R, P, 4) world coords + label at setup
     return CorrSetup(
-        cxp=plane(cx_w - row_origin_abs[:, 0:1], big),
-        cyp=plane(cy_w - row_origin_abs[:, 1:2], big),
-        czp=plane(cz_w - row_origin_abs[:, 2:3], big),
-        clp=plane(cl, 0.0),
+        cxp=jnp.where(cm, cx_w, big),
+        cyp=cy_w,
+        czp=cz_w,
+        clp=cl,
         q0=q0,
         grid_used=grid_used,
         row_rel=row_rel,
@@ -304,13 +301,11 @@ def corr_apply(
     is exactly the reference search). Returns
     (src_world (R, P, 4), tgt_world (R, P, 4), accept (R, P))."""
     R, P, _ = setup.q0.shape
-    dt = setup.q0.dtype
     xyz0 = setup.q0[..., :3]
     q_w = (
         jnp.einsum("ij,rpj->rpi", T[:3, :3], xyz0, precision="highest")
         + T[:3, 3][None, None, :]
     )
-    q_loc = q_w - setup.row_origin_abs[:, None, :]
     lab = setup.q0[..., 3]
     # movers: queries whose CURRENT voxel differs from their setup row —
     # their 27-neighborhood would be off-center; drop for this pass
@@ -327,35 +322,39 @@ def corr_apply(
         # + winner gather in VMEM, no (R, P, M) HBM temporaries
         from sage_icp_tpu.ops import pallas_nn as pnn
 
-        q4 = jnp.concatenate([q_loc, lab[..., None]], axis=-1).reshape(
+        q4 = jnp.concatenate([q_w, lab[..., None]], axis=-1).reshape(
             R, 4 * P
         )
         tx, ty, tz, tl, d2t = pnn.fused_semantic_nn(
             setup.cxp, setup.cyp, setup.czp, setup.clp, q4, sem_th,
             interpret=(mode == "interpret"),
         )
-        tgt_grid = jnp.stack(
-            [
-                tx + setup.row_origin_abs[:, :1],
-                ty + setup.row_origin_abs[:, 1:2],
-                tz + setup.row_origin_abs[:, 2:3],
-                tl,
-            ],
-            axis=-1,
-        )  # (R, P, 4)
-        # invalid/padded candidates sit at 1e7, so an empty neighborhood
+        tgt_grid = jnp.stack([tx, ty, tz, tl], axis=-1)  # (R, P, 4) world
+        # invalid candidates sit at x = 1e7, so an empty neighborhood
         # fails the unweighted distance gate with no explicit any_cand
         accept_grid = used & (jnp.sqrt(d2t) < max_correspondence_distance)
     else:
-        # XLA path: distances on the MXU: |q|^2 + |c|^2 - 2 q.c
-        c_flat = jnp.stack([setup.cxp, setup.cyp, setup.czp], axis=-1)
+        # XLA path: |q|^2 + |c|^2 - 2 q.c on the MXU needs voxel-LOCAL
+        # coordinates (squares of world-scale values lose f32 precision);
+        # localization happens here only — the Pallas kernel computes
+        # difference-form distances in world frame directly
+        q_loc = q_w - setup.row_origin_abs[:, None, :]
+        origin = setup.row_origin_abs
+        c_flat = jnp.stack(
+            [
+                setup.cxp - origin[:, 0:1],
+                setup.cyp - origin[:, 1:2],
+                setup.czp - origin[:, 2:3],
+            ],
+            axis=-1,
+        )
         cm = setup.cxp < 1.0e6
         cli = setup.clp.astype(jnp.int32)
         labi = lab.astype(jnp.int32)
         qq = jnp.sum(q_loc * q_loc, axis=-1)  # (R, P)
-        cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, Mp)
+        cc = jnp.sum(c_flat * c_flat, axis=-1)  # (R, M)
         qc = jnp.einsum("rpd,rmd->rpm", q_loc, c_flat, precision="highest")
-        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, Mp)
+        d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc  # (R, P, M)
         d2 = jnp.maximum(d2, 0.0)
 
         sem = (cli[:, None, :] == labi[:, :, None]) | (
@@ -367,18 +366,11 @@ def corr_apply(
 
         best = jnp.argmin(d2w, axis=-1)  # (R, P)
         any_cand = jnp.any(cm, axis=-1)  # (R,)
-        cand_loc4 = jnp.stack(
+        cand4 = jnp.stack(
             [setup.cxp, setup.cyp, setup.czp, setup.clp], axis=-1
-        )  # (R, Mp, 4) voxel-local
-        tgt_loc4 = jnp.take_along_axis(cand_loc4, best[:, :, None], axis=1)
-        tgt_grid = jnp.concatenate(
-            [
-                tgt_loc4[..., :3] + setup.row_origin_abs[:, None, :],
-                tgt_loc4[..., 3:],
-            ],
-            axis=-1,
-        )
-        d_true = jnp.linalg.norm(tgt_loc4[..., :3] - q_loc, axis=-1)
+        )  # (R, M, 4) world
+        tgt_grid = jnp.take_along_axis(cand4, best[:, :, None], axis=1)
+        d_true = jnp.linalg.norm(tgt_grid[..., :3] - q_w, axis=-1)
         accept_grid = (
             used & any_cand[:, None] & (d_true < max_correspondence_distance)
         )

@@ -41,13 +41,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(sem_ref, cx_ref, cy_ref, cz_ref, cl_ref, q_ref,
-            tx_ref, ty_ref, tz_ref, tl_ref, d2_ref, *, n_queries: int):
+            tx_ref, ty_ref, tz_ref, tl_ref, d2_ref, *, n_queries: int,
+            m_valid: int):
     sem_th = sem_ref[0, 0]
-    cx = cx_ref[:]  # (TR, Mp)
+    cx = cx_ref[:]  # (TR, M) — Mosaic pads the trailing tile internally
     cy = cy_ref[:]
     cz = cz_ref[:]
     cl = cl_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, cx.shape, 1)
+    # tile-padding lanes hold undefined memory — only the x plane carries
+    # the caller's invalid-candidate sentinel, so gate on the lane index
+    # and on cx for everything that could win the argmin
+    lane_ok = iota < m_valid
+    big = jnp.asarray(1.0e7, cx.dtype)
+    cxm = jnp.where(lane_ok, cx, big)
 
     txs, tys, tzs, tls, d2s = [], [], [], [], []
     for p in range(n_queries):  # static unroll; P is small (4-16)
@@ -55,15 +62,16 @@ def _kernel(sem_ref, cx_ref, cy_ref, cz_ref, cl_ref, q_ref,
         qy = q_ref[:, 4 * p + 1][:, None]
         qz = q_ref[:, 4 * p + 2][:, None]
         ql = q_ref[:, 4 * p + 3][:, None]
-        dx = cx - qx
+        dx = cxm - qx
         dy = cy - qy
         dz = cz - qz
-        d2 = dx * dx + dy * dy + dz * dz  # (TR, Mp)
+        d2 = dx * dx + dy * dy + dz * dz  # (TR, M)
         sem = (cl == ql) | ((cl * ql) == 0.0)
         d2w = jnp.where(sem, d2 * sem_th, d2)
+        d2w = jnp.where(lane_ok, d2w, jnp.finfo(cx.dtype).max)
         best = jnp.argmin(d2w, axis=1)  # (TR,) first minimum, like the ref
         oh = (iota == best[:, None]).astype(cx.dtype)  # one-hot winner
-        txs.append(jnp.sum(cx * oh, axis=1, keepdims=True))
+        txs.append(jnp.sum(cxm * oh, axis=1, keepdims=True))
         tys.append(jnp.sum(cy * oh, axis=1, keepdims=True))
         tzs.append(jnp.sum(cz * oh, axis=1, keepdims=True))
         tls.append(jnp.sum(cl * oh, axis=1, keepdims=True))
@@ -92,9 +100,11 @@ def fused_semantic_nn(
 
     d2_true is the UNWEIGHTED squared distance of the per-slot winner;
     the caller applies the acceptance gate sqrt(d2) < max_corr_dist.
+    M (the candidate lane count) need not be 128-aligned: Mosaic pads the
+    trailing tile and the kernel masks the padding lanes. Only the X
+    plane needs the caller's invalid-candidate masking (1e7 sentinel).
     """
     R, Mp = cx.shape
-    assert Mp % LANE == 0, f"candidate lanes must be 128-padded, got {Mp}"
     P4 = queries.shape[1]
     assert P4 % 4 == 0
     P = P4 // 4
@@ -111,7 +121,7 @@ def fused_semantic_nn(
     out_shape = jax.ShapeDtypeStruct((R, P), cx.dtype)
 
     return pl.pallas_call(
-        functools.partial(_kernel, n_queries=P),
+        functools.partial(_kernel, n_queries=P, m_valid=Mp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
