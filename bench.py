@@ -34,11 +34,10 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
     n_points = int(os.environ.get("BENCH_POINTS", "120000"))
 
-    config = pl.SageConfig(
-        dynamic_vehicle_filter=False,  # matches the _gt variant; the
-        # clustering filter is benched separately (see docs/PERF.md)
-        min_range=2.0,
-    )
+    # the "synthetic" preset: kitti algorithm parameters with capacities
+    # fitted to this world's measured occupancy (models/pipeline.PRESETS);
+    # overflow guards below verify nothing is silently dropped
+    config = pl.PRESETS[os.environ.get("BENCH_PRESET", "synthetic")]
     odom = pl.SageICP(config)
 
     # density 2: the downsampled per-frame point count then matches the
@@ -81,6 +80,18 @@ def main():
     elapsed = time.perf_counter() - t0
 
     scans_per_sec = n_frames / elapsed
+    # capacity-overflow honesty guard: the fitted capacities must not
+    # silently truncate the workload
+    aux = odom.last_aux
+    assert int(aux.num_frame_ds) < config.frame_capacity * 0.95, (
+        "frame capacity overflow — bench preset undersized"
+    )
+    assert int(aux.num_source) < config.source_capacity * 0.95, (
+        "source capacity overflow — bench preset undersized"
+    )
+    assert max(len(s) for s in scans) <= config.scan_capacity, (
+        "scan capacity overflow — bench preset undersized"
+    )
     print(
         json.dumps(
             {

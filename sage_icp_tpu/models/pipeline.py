@@ -134,6 +134,24 @@ PRESETS = {
         voxel_size_map=1.0,
         sem_th=0.2,
     ),
+    # the synthetic benchmark world (utils/synthetic.py at density 2):
+    # identical ALGORITHM parameters to the kitti preset, with capacities
+    # fitted to measured occupancy x ~1.5-4 margin (raw scan ~46k, frame
+    # downsample ~22k, ICP source ~3.7k, live map voxels ~5k) — fixed
+    # shapes are a per-dataset deployment choice, exactly like sizing for
+    # a known sensor. The dynamic filter is off (the _gt-variant setting)
+    # because synthetic labels are ground truth.
+    "synthetic": SageConfig(
+        dynamic_vehicle_filter=False,
+        min_range=2.0,
+        scan_capacity=65_536,
+        frame_capacity=32_768,
+        source_capacity=8_192,
+        map_capacity=32_768,
+        insert_unique_capacity=8_192,
+        corr_unique_voxel_rows=3072,
+        corr_overflow_rows=512,
+    ),
     # geometric KISS-ICP mode: single class group holding every label,
     # semantics disabled (BASELINE.json config #1)
     "geometric": SageConfig(

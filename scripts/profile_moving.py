@@ -17,9 +17,9 @@ from sage_icp_tpu.utils import synthetic
 
 
 def main():
-    cfg = pl.SageConfig(dynamic_vehicle_filter=False, min_range=2.0)
+    cfg = pl.PRESETS["synthetic"]
     print("devices:", jax.devices(), flush=True)
-    world_pts, world_labs = synthetic.build_world(seed=0, length=260.0)
+    world_pts, world_labs = synthetic.build_world(seed=0, length=260.0, density=2)
     gt = synthetic.make_trajectory(22, step=1.0)
     rng = np.random.default_rng(0)
     odom = pl.SageICP(cfg)
