@@ -571,7 +571,7 @@ class SageICP:
         return poses
 
     def local_map(self) -> np.ndarray:
-        pts, mask = hm.pointcloud(self.state.map)
+        pts, mask = hm.pointcloud(self.state.map, self.config.voxel_size_map)
         return np.asarray(pts)[np.asarray(mask)]
 
     def reinitialize(self):

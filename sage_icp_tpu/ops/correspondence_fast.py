@@ -62,7 +62,8 @@ class ProbeTables(NamedTuple):
 
     window: jax.Array  # int32[C, 2D]: packed keys [0:D] + counts [D:2D]
     center: jax.Array  # int32[3] the packing center voxel
-    points2: jax.Array  # f32[C, 4*K] PLANAR block view [x*K | y*K | z*K | l*K]
+    points2: jax.Array  # int16[C, 4*K] PLANAR quantized block view
+    #                     [x*K | y*K | z*K | l*K], voxel-local offsets
 
 
 def build_probe_tables(
@@ -138,10 +139,10 @@ class CorrSetup(NamedTuple):
     are sub-centimeter, so movers are a vanishing fraction; the reference
     itself truncates the search to 27 voxels of the current position)."""
 
-    cxp: jax.Array  # (R, M) WORLD-frame candidate x; invalid = 1e7
-    cyp: jax.Array  # (R, M) world y (unmasked; x carries the sentinel)
-    czp: jax.Array
-    clp: jax.Array  # (R, M) candidate labels
+    cxp: jax.Array  # (R, M) int16 candidate x, OWN-voxel-local quantized
+    cyp: jax.Array  # (R, M) int16
+    czp: jax.Array  # (R, M) int16
+    clp: jax.Array  # (R, M) int16 candidate labels; -1 = invalid lane
     q0: jax.Array  # (R, P, 4) query world xyz + label at setup
     grid_used: jax.Array  # (R, P)
     row_rel: jax.Array  # (R, 3) row voxel coords relative to center
@@ -253,30 +254,30 @@ def corr_setup(
     found, slot, cnt = probe(tables, nb_abs, nb_code, probe_depth)  # (R,27)
 
     # --- fetch candidate blocks (flat wide-row gather, PLANAR layout) -------
+    # rows stay int16 (half the gather bytes of f32); dequantization to
+    # row-local f32 happens lane-wise inside the NN kernel (VMEM), so HBM
+    # only ever holds the quantized planes
     flat_slot = jnp.where(found, slot, 0).reshape(-1)  # (R*27,)
     raw = tables.points2[flat_slot].reshape(R, 27, 4, K)
     M = 27 * K
     # contiguous K-lane slices per component (no stride-4 relayout)
-    cx_w = raw[:, :, 0, :].reshape(R, M)  # world-frame x
-    cy_w = raw[:, :, 1, :].reshape(R, M)
-    cz_w = raw[:, :, 2, :].reshape(R, M)
+    cx_q = raw[:, :, 0, :].reshape(R, M)  # int16 own-voxel-local
+    cy_q = raw[:, :, 1, :].reshape(R, M)
+    cz_q = raw[:, :, 2, :].reshape(R, M)
     cl = raw[:, :, 3, :].reshape(R, M)
     kidx = jnp.arange(K, dtype=jnp.int32)
     cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (R,27,K)
     cm = cmask.reshape(R, M)
 
-    # --- candidate planes stay in WORLD frame: the kernel computes
-    # difference-form distances (|c - q|, exact in f32 at map scales), so
-    # no per-row localization pass is needed. Only the X plane carries the
-    # invalid-candidate sentinel — a masked x of 1e7 makes d2 ~ 1e14,
-    # losing every argmin and failing the acceptance gate. ------------------
-    big = jnp.asarray(1.0e7, query.dtype)  # ops.scan.INVALID_COORD
+    # the label plane carries the invalid-lane sentinel (-1): the kernel
+    # pushes invalid lanes to +inf weighted metric (loses every argmin) and
+    # to a huge true distance (fails the acceptance gate on empty rows)
     q0 = g[..., :4]  # (R, P, 4) world coords + label at setup
     return CorrSetup(
-        cxp=jnp.where(cm, cx_w, big),
-        cyp=cy_w,
-        czp=cz_w,
-        clp=cl,
+        cxp=cx_q,
+        cyp=cy_q,
+        czp=cz_q,
+        clp=jnp.where(cm, cl, jnp.int16(-1)),
         q0=q0,
         grid_used=grid_used,
         row_rel=row_rel,
@@ -301,6 +302,9 @@ def corr_apply(
     is exactly the reference search). Returns
     (src_world (R, P, 4), tgt_world (R, P, 4), accept (R, P))."""
     R, P, _ = setup.q0.shape
+    M = setup.cxp.shape[1]
+    K = M // 27
+    dt = setup.q0.dtype
     xyz0 = setup.q0[..., :3]
     q_w = (
         jnp.einsum("ij,rpj->rpi", T[:3, :3], xyz0, precision="highest")
@@ -316,39 +320,48 @@ def corr_apply(
     )
     used = setup.grid_used & ~moved
 
+    # all distance math runs in ROW-LOCAL frame (row voxel origin): values
+    # stay within ~2-3 voxel sizes, exact in f32. Per-lane dequantization:
+    # c_local = neighbor_offset(lane // K) * v + c_int16 * (v / QSCALE).
+    origin = setup.row_origin_abs  # (R, 3)
+    q_loc = q_w - origin[:, None, :]
+    offs = (
+        jnp.repeat(hm._NEIGHBOR_OFFSETS, K, axis=0).astype(dt) * voxel_size
+    )  # (M, 3) static per-lane neighbor offset, meters
+    scale = voxel_size / hm.QSCALE
+
     mode = pallas_nn if pallas_nn is not None else _pallas_mode()
     if mode != "off" and R % 128 == 0:
-        # fused Pallas selection: distances + semantic weighting + argmin
-        # + winner gather in VMEM, no (R, P, M) HBM temporaries
+        # fused Pallas selection: dequantize + distances + semantic
+        # weighting + argmin + winner gather in VMEM; HBM reads per
+        # iteration are exactly the int16 planes
         from sage_icp_tpu.ops import pallas_nn as pnn
 
-        q4 = jnp.concatenate([q_w, lab[..., None]], axis=-1).reshape(
+        q4 = jnp.concatenate([q_loc, lab[..., None]], axis=-1).reshape(
             R, 4 * P
         )
         tx, ty, tz, tl, d2t = pnn.fused_semantic_nn(
-            setup.cxp, setup.cyp, setup.czp, setup.clp, q4, sem_th,
+            setup.cxp, setup.cyp, setup.czp, setup.clp,
+            offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
+            q4, sem_th, scale,
             interpret=(mode == "interpret"),
         )
-        tgt_grid = jnp.stack([tx, ty, tz, tl], axis=-1)  # (R, P, 4) world
-        # invalid candidates sit at x = 1e7, so an empty neighborhood
-        # fails the unweighted distance gate with no explicit any_cand
+        tgt_grid = jnp.stack(
+            [tx + origin[:, 0:1], ty + origin[:, 1:2], tz + origin[:, 2:3],
+             tl],
+            axis=-1,
+        )  # (R, P, 4) world
+        # invalid lanes (label -1) carry a huge true distance, so an empty
+        # neighborhood fails the unweighted gate with no explicit any_cand
         accept_grid = used & (jnp.sqrt(d2t) < max_correspondence_distance)
     else:
-        # XLA path: |q|^2 + |c|^2 - 2 q.c on the MXU needs voxel-LOCAL
-        # coordinates (squares of world-scale values lose f32 precision);
-        # localization happens here only — the Pallas kernel computes
-        # difference-form distances in world frame directly
-        q_loc = q_w - setup.row_origin_abs[:, None, :]
-        origin = setup.row_origin_abs
-        c_flat = jnp.stack(
-            [
-                setup.cxp - origin[:, 0:1],
-                setup.cyp - origin[:, 1:2],
-                setup.czp - origin[:, 2:3],
-            ],
-            axis=-1,
-        )
-        cm = setup.cxp < 1.0e6
+        # XLA path: dequantize to (R, M) f32 planes, then
+        # |q|^2 + |c|^2 - 2 q.c on the MXU in row-local coordinates
+        cm = setup.clp >= 0
+        cxf = setup.cxp.astype(dt) * scale + offs[None, :, 0]
+        cyf = setup.cyp.astype(dt) * scale + offs[None, :, 1]
+        czf = setup.czp.astype(dt) * scale + offs[None, :, 2]
+        c_flat = jnp.stack([cxf, cyf, czf], axis=-1)  # (R, M, 3) row-local
         cli = setup.clp.astype(jnp.int32)
         labi = lab.astype(jnp.int32)
         qq = jnp.sum(q_loc * q_loc, axis=-1)  # (R, P)
@@ -366,8 +379,8 @@ def corr_apply(
 
         best = jnp.argmin(d2w, axis=-1)  # (R, P)
         any_cand = jnp.any(cm, axis=-1)  # (R,)
-        cand4 = jnp.stack(
-            [setup.cxp, setup.cyp, setup.czp, setup.clp], axis=-1
+        cand4 = jnp.concatenate(
+            [c_flat + origin[:, None, :], cli.astype(dt)[..., None]], axis=-1
         )  # (R, M, 4) world
         tgt_grid = jnp.take_along_axis(cand4, best[:, :, None], axis=1)
         d_true = jnp.linalg.norm(tgt_grid[..., :3] - q_w, axis=-1)

@@ -7,9 +7,20 @@ Design
 The reference is a pointer-world hash map mutated point-by-point under TBB.
 Here the map is three dense arrays:
 
-    keys:   int32[C, 3]   voxel coordinate of each slot
-    counts: int32[C]      live points in the slot's block (0 = free)
-    points: f32[C, K, 4]  the block buffer (xyz + label), K = basic+critical
+    keys:   int32[C, 3]    voxel coordinate of each slot
+    counts: int32[C]       live points in the slot's block (0 = free)
+    points: int16[C, K, 4] the block buffer, K = basic+critical
+
+Block points are stored QUANTIZED: xyz as int16 voxel-local offsets
+(point - voxel_key * voxel_size, full int16 scale = one voxel => worst
+case error voxel_size / 32767 / 2 ~ 0.015 mm, three orders of magnitude
+below LiDAR noise) and the label as int16. This halves every hot byte
+stream over the f32 layout: the map buffer itself (donation copies), the
+per-solve candidate gathers, the per-ICP-iteration kernel reads, and the
+insert read-modify-write — the dominant costs on a bandwidth-bound TPU
+(docs/PERF.md). World coordinates are reconstructed on demand from the
+slot's key; all distance math then runs in voxel-local frame where f32
+is exact.
 
 Collision handling is bounded linear probing with probe depth D: a voxel
 with hash h may live in any slot [h, h+D) mod C. Lookups always inspect all
@@ -64,7 +75,7 @@ class MapState(NamedTuple):
 
     keys: jax.Array  # int32[C, 3]
     counts: jax.Array  # int32[C]
-    points: jax.Array  # f32[C, K, 4]
+    points: jax.Array  # int16[C, K, 4] quantized voxel-local xyz + label
     # each block's FIRST point, kept as a side table so the distance cull
     # (remove_far) reads 3 MB instead of striding the whole block buffer
     first_pts: jax.Array  # f32[C, 3]
@@ -84,14 +95,43 @@ class MapState(NamedTuple):
 EMPTY_KEY = -(1 << 20)
 
 
+# int16 full-scale = one voxel size (quantized local offsets span (-v, v)
+# because trunc_div voxel origins put locals in (-v, v), not [0, v)).
+QSCALE = 32767.0
+
+
 def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return MapState(
         keys=jnp.full((capacity, 3), EMPTY_KEY, dtype=jnp.int32),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
-        points=jnp.full((capacity, points_per_voxel, 4), INVALID_COORD, dtype=dtype),
+        points=jnp.zeros((capacity, points_per_voxel, 4), dtype=jnp.int16),
         first_pts=jnp.full((capacity, 3), INVALID_COORD, dtype=dtype),
     )
+
+
+def quantize_points(
+    points: jax.Array, vkeys: jax.Array, voxel_size, out_dtype=jnp.float32
+) -> jax.Array:
+    """(…, 4) f32 world xyz+label -> (…, 4) int16 quantized-local + label.
+    vkeys: (…, 3) int32 the points' voxel coords (trunc_div semantics)."""
+    local = points[..., :3] - vkeys.astype(points.dtype) * voxel_size
+    q = jnp.clip(
+        jnp.round(local * (QSCALE / voxel_size)), -QSCALE, QSCALE
+    ).astype(jnp.int16)
+    lab = points[..., 3:4].astype(jnp.int16)
+    return jnp.concatenate([q, lab], axis=-1)
+
+
+def dequantize_points(
+    stored: jax.Array, vkeys: jax.Array, voxel_size, dtype=jnp.float32
+) -> jax.Array:
+    """Inverse of quantize_points: (…, 4) int16 -> (…, 4) f32 world."""
+    xyz = (
+        stored[..., :3].astype(dtype) * (voxel_size / QSCALE)
+        + vkeys.astype(dtype) * voxel_size
+    )
+    return jnp.concatenate([xyz, stored[..., 3:4].astype(dtype)], axis=-1)
 
 
 def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
@@ -283,12 +323,12 @@ def insert(
     kidx = jnp.arange(kmax, dtype=jnp.int32)
     slot_c = jnp.where(has_slot, slot_u, 0)  # safe gather index
     points2 = state.points.reshape(cap, kmax * 4)
-    compact = points2[slot_c].reshape(U, kmax, 4)  # (U, K, 4)
+    compact = points2[slot_c].reshape(U, kmax, 4)  # (U, K, 4) int16
     ccounts = new_counts[slot_c]  # (U,)
     uidx = jnp.arange(U, dtype=jnp.int32)
     # live label-0 slots, maintained INCREMENTALLY across rounds so each
     # round touches ~(U,K) bools + one (U,4) scatter instead of re-reading
-    # the 20 MB compact buffer
+    # the compact buffer
     blk_labels0 = compact[:, :, 3].astype(jnp.int32)
     zero_live0 = (blk_labels0 == 0) & (kidx[None, :] < ccounts[:, None])
 
@@ -299,7 +339,8 @@ def insert(
     def policy_body(carry):
         r, ccounts, compact, zero_live = carry
         act = has_slot & (r < seg_len)
-        p = pts_sorted[jnp.minimum(head_pos + r, n - 1)]  # (U, 4)
+        p = pts_sorted[jnp.minimum(head_pos + r, n - 1)]  # (U, 4) f32 world
+        pq = quantize_points(p, ukeys, voxel_size)  # (U, 4) int16 local
         lab = jnp.clip(p[:, 3].astype(jnp.int32), 0, num_labels - 1)
         is_basic = basic_label_mask[lab]
         cnt = ccounts
@@ -321,7 +362,7 @@ def insert(
         # where a (row, slot) scatter runs at ~0.1-1 GB/s
         onehot_t = kidx[None, :] == target[:, None]  # (U, K)
         sel = write[:, None] & onehot_t
-        compact = jnp.where(sel[:, :, None], p[:, None, :], compact)
+        compact = jnp.where(sel[:, :, None], pq[:, None, :], compact)
         # written slot becomes zero-live iff the written label is 0 (an
         # appended unknown point); an overwrite target stops being zero
         zero_live = jnp.where(sel, (lab == 0)[:, None], zero_live)
@@ -344,8 +385,11 @@ def insert(
     new_counts = new_counts.at[wslot2].set(
         ccounts, mode="drop", unique_indices=True
     )
+    first_world = dequantize_points(
+        compact[:, 0, :], ukeys, voxel_size, state.first_pts.dtype
+    )[:, :3]
     new_first = state.first_pts.at[wslot2].set(
-        compact[:, 0, :3], mode="drop", unique_indices=True
+        first_world, mode="drop", unique_indices=True
     )
     return MapState(
         keys=new_keys, counts=new_counts, points=new_points,
@@ -371,11 +415,15 @@ def is_empty(state: MapState) -> jax.Array:
     return ~jnp.any(state.counts > 0)
 
 
-def pointcloud(state: MapState) -> tuple[jax.Array, jax.Array]:
-    """Flatten all live points: returns ((C*K, 4), (C*K,) mask)."""
+def pointcloud(state: MapState, voxel_size) -> tuple[jax.Array, jax.Array]:
+    """Flatten all live points (dequantized to world frame):
+    returns ((C*K, 4), (C*K,) mask)."""
     kidx = jnp.arange(state.points_per_voxel, dtype=jnp.int32)
     mask = kidx[None, :] < state.counts[:, None]
-    return state.points.reshape(-1, 4), mask.reshape(-1)
+    world = dequantize_points(
+        state.points, state.keys[:, None, :], voxel_size
+    )
+    return world.reshape(-1, 4), mask.reshape(-1)
 
 
 # 27-neighborhood offsets, static constant (reference VoxelHashMap.cpp:57-63).
@@ -406,7 +454,11 @@ def get_correspondences(
     slots = lookup(state, nb, probe_depth)  # (N, 27)
     found = slots >= 0
     safe = jnp.where(found, slots, 0)
-    cand = state.points[safe]  # (N, 27, K, 4)
+    # a found slot's key equals the probed neighbor coord, so dequantize
+    # against nb directly (no key gather needed)
+    cand = dequantize_points(
+        state.points[safe], nb[:, :, None, :], voxel_size, query.dtype
+    )  # (N, 27, K, 4) world
     cnt = state.counts[safe]  # (N, 27)
     kidx = jnp.arange(kmax, dtype=jnp.int32)
     cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (N,27,K)

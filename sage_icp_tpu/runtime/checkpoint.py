@@ -45,17 +45,15 @@ def load_state(path: str, odom: SageICP) -> SageICP:
     assert z["map_counts"].shape[0] == odom.config.map_capacity, (
         "checkpoint capacity mismatch"
     )
+    assert z["map_points"].dtype == np.int16, (
+        "pre-quantization (f32 block storage) checkpoints are not loadable"
+    )
     odom.state = OdomState(
         map=MapState(
             keys=jnp.asarray(z["map_keys"]),
             counts=jnp.asarray(z["map_counts"]),
             points=jnp.asarray(z["map_points"]),
-            first_pts=jnp.asarray(
-                z["map_first"]
-                if "map_first" in z
-                # older checkpoints: derive from the block buffers
-                else z["map_points"][:, 0, :3]
-            ),
+            first_pts=jnp.asarray(z["map_first"]),
         ),
         last_pose=jnp.asarray(z["last_pose"]),
         prev_pose=jnp.asarray(z["prev_pose"]),

@@ -41,7 +41,7 @@ def sorted_rows(a):
 
 
 def state_pointcloud(state):
-    pts, mask = hm.pointcloud(state)
+    pts, mask = hm.pointcloud(state, VOXEL)
     return np.asarray(pts)[np.asarray(mask)]
 
 
@@ -169,13 +169,13 @@ def test_correspondences_semantic_weighting_changes_winner():
     )
     assert bool(accept[0])
     # weighted: same-label 0.25^2*0.1 = 0.00625 < diff-label 0.15^2 = 0.0225
-    assert float(tgt[0, 0]) == np.float32(0.70)
+    assert abs(float(tgt[0, 0]) - 0.70) < 1e-4  # int16-quantized storage
 
     # with sem_th = 1 the truly closest wins
     tgt2, _ = hm.get_correspondences(
         state, jnp.asarray(q), jnp.ones((1,), dtype=bool), VOXEL, 2.0, 1.0
     )
-    assert float(tgt2[0, 0]) == np.float32(0.30)
+    assert abs(float(tgt2[0, 0]) - 0.30) < 1e-4
 
 
 def test_correspondence_acceptance_uses_unweighted_distance():
