@@ -525,8 +525,27 @@ class SageICP:
         return jax.tree.map(np.asarray, self._last_aux_dev)
 
     def trajectory(self) -> np.ndarray:
-        """(N, 4, 4) trajectory; synchronizes any in-flight frames."""
-        return np.stack([np.asarray(p) for p in self.poses])
+        """(N, 4, 4) trajectory; synchronizes any in-flight frames.
+
+        Entries are (4, 4) poses or (W, 4, 4) chunk arrays (register_chunk
+        appends whole chunks). Device-held entries are concatenated ON
+        DEVICE and fetched in ONE transfer: fetching them one by one costs
+        a full remote round trip (~27 ms) per frame through a tunneled
+        TPU."""
+        if not self.poses:
+            return np.zeros((0, 4, 4))
+        dev = [
+            p.reshape(-1, 4, 4) for p in self.poses if isinstance(p, jax.Array)
+        ]
+        fetched = iter(np.asarray(jnp.concatenate(dev))) if dev else None
+        out = []
+        for p in self.poses:
+            if isinstance(p, jax.Array):
+                for _ in range(1 if p.ndim == 2 else p.shape[0]):
+                    out.append(next(fetched))
+            else:
+                out.append(np.asarray(p).reshape(4, 4))
+        return np.stack(out)
 
     def pad_chunk(self, scans: list[np.ndarray]) -> np.ndarray:
         """(W, scan_capacity, 4) padded host buffer for register_chunk."""
@@ -566,8 +585,9 @@ class SageICP:
             self._chunk_steps[W] = make_chunk_step(self.config, W)
         self.state, poses, aux = self._chunk_steps[W](self.state, dev)
         self._last_aux_dev = aux
-        for i in range(W):
-            self.poses.append(poses[i])
+        # keep the whole (W, 4, 4) device array: per-frame slicing would
+        # dispatch W ops, and trajectory() flattens chunks on device anyway
+        self.poses.append(poses)
         return poses
 
     def local_map(self) -> np.ndarray:

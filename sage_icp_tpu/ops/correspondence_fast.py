@@ -81,13 +81,11 @@ def build_probe_tables(
     )
     window = jnp.concatenate([kwin, cwin], axis=1)  # (C, 2D)
     k = state.points_per_voxel
-    # planar per-block layout: component extraction after the candidate
-    # gather becomes contiguous 40-lane slices instead of stride-4 picks
-    # (the stride-4 relayout measured ~5 ms/iteration); the transpose costs
-    # one pass over the table per STEP, amortized over all ICP iterations
-    planar = jnp.transpose(state.points, (0, 2, 1)).reshape(
-        state.capacity, 4 * k
-    )
+    # the map stores blocks PLANAR already (hashmap.MapState.points is
+    # (C, 4, K)), so the gather-ready flat view is a free reshape —
+    # component extraction after the candidate gather stays contiguous
+    # K-lane slices (a stride-4 relayout measured ~5 ms/iteration)
+    planar = state.points.reshape(state.capacity, 4 * k)
     return ProbeTables(
         window=window,
         center=center_voxel,

@@ -158,8 +158,8 @@ def filter_dynamic_vehicles(points, valid, config):
     lslots = hm.lookup(lmk_map, qnb, probe_depth=8)  # (Nv, 27)
     lfound = lslots >= 0
     lsafe = jnp.where(lfound, lslots, 0)
-    cand = hm.dequantize_points(
-        lmk_map.points[lsafe], qnb[:, :, None, :], SEARCH_RADIUS, points.dtype
+    cand = hm.dequantize_blocks(
+        lmk_map.points[lsafe], qnb, SEARCH_RADIUS, points.dtype
     )  # (Nv, 27, K, 4) world (a found slot's key equals the probed coord)
     ccnt = lmk_map.counts[lsafe]
     kidx = jnp.arange(_LMK_PER_VOXEL, dtype=jnp.int32)

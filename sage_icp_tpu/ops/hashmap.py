@@ -9,7 +9,8 @@ Here the map is three dense arrays:
 
     keys:   int32[C, 3]    voxel coordinate of each slot
     counts: int32[C]       live points in the slot's block (0 = free)
-    points: int16[C, K, 4] the block buffer, K = basic+critical
+    points: int16[C, 4, K] the block buffer, PLANAR [x|y|z|label] planes,
+                           K = basic+critical
 
 Block points are stored QUANTIZED: xyz as int16 voxel-local offsets
 (point - voxel_key * voxel_size, full int16 scale = one voxel => worst
@@ -75,7 +76,11 @@ class MapState(NamedTuple):
 
     keys: jax.Array  # int32[C, 3]
     counts: jax.Array  # int32[C]
-    points: jax.Array  # int16[C, K, 4] quantized voxel-local xyz + label
+    points: jax.Array  # int16[C, 4, K] PLANAR quantized voxel-local planes
+    #                      [x*K | y*K | z*K | label*K]: a flat (C, 4K) view
+    #                      is gather-ready for the correspondence engine and
+    #                      the insert kernel slices components as contiguous
+    #                      K-lane spans
     # each block's FIRST point, kept as a side table so the distance cull
     # (remove_far) reads 3 MB instead of striding the whole block buffer
     first_pts: jax.Array  # f32[C, 3]
@@ -86,7 +91,7 @@ class MapState(NamedTuple):
 
     @property
     def points_per_voxel(self) -> int:
-        return self.points.shape[1]
+        return self.points.shape[2]
 
 
 # Key sentinel for never-used slots: no real voxel coordinate can equal it
@@ -105,7 +110,7 @@ def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
     return MapState(
         keys=jnp.full((capacity, 3), EMPTY_KEY, dtype=jnp.int32),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
-        points=jnp.zeros((capacity, points_per_voxel, 4), dtype=jnp.int16),
+        points=jnp.zeros((capacity, 4, points_per_voxel), dtype=jnp.int16),
         first_pts=jnp.full((capacity, 3), INVALID_COORD, dtype=dtype),
     )
 
@@ -132,6 +137,19 @@ def dequantize_points(
         + vkeys.astype(dtype) * voxel_size
     )
     return jnp.concatenate([xyz, stored[..., 3:4].astype(dtype)], axis=-1)
+
+
+def dequantize_blocks(
+    stored: jax.Array, vkeys: jax.Array, voxel_size, dtype=jnp.float32
+) -> jax.Array:
+    """(…, 4, K) int16 planar block planes -> (…, K, 4) f32 world points.
+    vkeys: (…, 3) the blocks' voxel coords."""
+    xyz = (
+        stored[..., :3, :].astype(dtype) * (voxel_size / QSCALE)
+        + vkeys[..., :, None].astype(dtype) * voxel_size
+    )  # (…, 3, K)
+    lab = stored[..., 3:4, :].astype(dtype)
+    return jnp.moveaxis(jnp.concatenate([xyz, lab], axis=-2), -2, -1)
 
 
 def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
@@ -210,6 +228,8 @@ def insert(
     probe_depth: int = DEFAULT_PROBE_DEPTH,
     unique_voxel_capacity: int | None = None,
     tables=None,
+    policy_kernel: bool | None = None,  # None = auto (fused Pallas kernel
+    #                                     when the row count tiles evenly)
 ) -> MapState:
     """AddPoints with the reference's per-block retention policy.
 
@@ -322,14 +342,58 @@ def insert(
     num_labels = basic_label_mask.shape[0]
     kidx = jnp.arange(kmax, dtype=jnp.int32)
     slot_c = jnp.where(has_slot, slot_u, 0)  # safe gather index
-    points2 = state.points.reshape(cap, kmax * 4)
-    compact = points2[slot_c].reshape(U, kmax, 4)  # (U, K, 4) int16
+    points2 = state.points.reshape(cap, 4 * kmax)
+    compact = points2[slot_c].reshape(U, 4, kmax)  # (U, 4, K) int16 planes
     ccounts = new_counts[slot_c]  # (U,)
     uidx = jnp.arange(U, dtype=jnp.int32)
     # live label-0 slots, maintained INCREMENTALLY across rounds so each
     # round touches ~(U,K) bools + one (U,4) scatter instead of re-reading
     # the compact buffer
-    blk_labels0 = compact[:, :, 3].astype(jnp.int32)
+    # --- fused Pallas policy kernel: every round is VMEM-resident VPU work
+    # instead of a separate lax.while_loop iteration (per-round launch
+    # overhead ~1 ms dominated the XLA path; docs/PERF.md) -----------------
+    Rmax = max_incoming_per_voxel
+    use_kernel = (U % 128 == 0) if policy_kernel is None else policy_kernel
+    if use_kernel:
+        from sage_icp_tpu.ops import pallas_insert as pik
+
+        lab_s = jnp.clip(
+            pts_sorted[:, 3].astype(jnp.int32), 0, num_labels - 1
+        )
+        cls_s = jnp.where(
+            lab_s == 0, 0, jnp.where(basic_label_mask[lab_s], 1, 2)
+        )
+        pq_all = quantize_points(pts_sorted, vkeys, voxel_size)  # (N, 4)
+        enc = (lab_s | (cls_s << pik.CLS_SHIFT)).astype(jnp.int16)
+        pq_enc = jnp.concatenate([pq_all[:, :3], enc[:, None]], axis=-1)
+        # each row's incoming points are CONTIGUOUS in the voxel-sorted
+        # array; fetch ranks as Rmax small row gathers (a single 1-D
+        # wide-window gather looks ideal but XLA element-serializes it:
+        # 48 ms vs 0.6 ms for the row-gather form at KITTI scale)
+        inc = jnp.concatenate(
+            [
+                pq_enc[jnp.minimum(head_pos + r, n - 1)]
+                for r in range(Rmax)
+            ],
+            axis=1,
+        )  # (U, 4*Rmax) interleaved [x y z enc] per rank
+        seglen_eff = jnp.where(
+            has_slot, jnp.minimum(seg_len, Rmax), 0
+        )[:, None]
+        interpret = jax.default_backend() != "tpu"
+        bx, by, bz, bl, cnt2 = pik.apply_policy(
+            compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
+            compact[:, 3, :], ccounts[:, None], seglen_eff, inc, rounds,
+            n_rounds=Rmax, basic=basic_points, interpret=interpret,
+        )
+        compact = jnp.stack([bx, by, bz, bl], axis=1)
+        ccounts = cnt2[:, 0]
+        return _insert_writeback(
+            state, points2, compact, ccounts, has_slot, slot_u, ukeys,
+            new_keys, new_counts, voxel_size, cap, kmax, U,
+        )
+
+    blk_labels0 = compact[:, 3, :].astype(jnp.int32)
     zero_live0 = (blk_labels0 == 0) & (kidx[None, :] < ccounts[:, None])
 
     def policy_cond(carry):
@@ -362,7 +426,7 @@ def insert(
         # where a (row, slot) scatter runs at ~0.1-1 GB/s
         onehot_t = kidx[None, :] == target[:, None]  # (U, K)
         sel = write[:, None] & onehot_t
-        compact = jnp.where(sel[:, :, None], pq[:, None, :], compact)
+        compact = jnp.where(sel[:, None, :], pq[:, :, None], compact)
         # written slot becomes zero-live iff the written label is 0 (an
         # appended unknown point); an overwrite target stops being zero
         zero_live = jnp.where(sel, (lab == 0)[:, None], zero_live)
@@ -374,20 +438,31 @@ def insert(
         policy_body,
         (jnp.asarray(0, jnp.int32), ccounts, compact, zero_live0),
     )
+    return _insert_writeback(
+        state, points2, compact, ccounts, has_slot, slot_u, ukeys,
+        new_keys, new_counts, voxel_size, cap, kmax, U,
+    )
 
-    # write back touched blocks (slots are unique across live rows: lookups
-    # return distinct slots for distinct keys and claim races have a single
-    # winner per slot)
+
+def _insert_writeback(
+    state, points2, compact, ccounts, has_slot, slot_u, ukeys, new_keys,
+    new_counts, voxel_size, cap, kmax, U
+):
+    """Write the policy-mutated compact blocks back into the table (slots
+    are unique across live rows: lookups return distinct slots for
+    distinct keys and claim races have a single winner per slot)."""
     wslot2 = jnp.where(has_slot, slot_u, cap)
     new_points = points2.at[wslot2].set(
-        compact.reshape(U, kmax * 4), mode="drop", unique_indices=True
-    ).reshape(cap, kmax, 4)
+        compact.reshape(U, 4 * kmax), mode="drop", unique_indices=True
+    ).reshape(cap, 4, kmax)
     new_counts = new_counts.at[wslot2].set(
         ccounts, mode="drop", unique_indices=True
     )
-    first_world = dequantize_points(
-        compact[:, 0, :], ukeys, voxel_size, state.first_pts.dtype
-    )[:, :3]
+    first_world = (
+        compact[:, :3, 0].astype(state.first_pts.dtype)
+        * (voxel_size / QSCALE)
+        + ukeys.astype(state.first_pts.dtype) * voxel_size
+    )  # each block's FIRST point, world frame
     new_first = state.first_pts.at[wslot2].set(
         first_world, mode="drop", unique_indices=True
     )
@@ -420,9 +495,7 @@ def pointcloud(state: MapState, voxel_size) -> tuple[jax.Array, jax.Array]:
     returns ((C*K, 4), (C*K,) mask)."""
     kidx = jnp.arange(state.points_per_voxel, dtype=jnp.int32)
     mask = kidx[None, :] < state.counts[:, None]
-    world = dequantize_points(
-        state.points, state.keys[:, None, :], voxel_size
-    )
+    world = dequantize_blocks(state.points, state.keys, voxel_size)
     return world.reshape(-1, 4), mask.reshape(-1)
 
 
@@ -456,8 +529,8 @@ def get_correspondences(
     safe = jnp.where(found, slots, 0)
     # a found slot's key equals the probed neighbor coord, so dequantize
     # against nb directly (no key gather needed)
-    cand = dequantize_points(
-        state.points[safe], nb[:, :, None, :], voxel_size, query.dtype
+    cand = dequantize_blocks(
+        state.points[safe], nb, voxel_size, query.dtype
     )  # (N, 27, K, 4) world
     cnt = state.counts[safe]  # (N, 27)
     kidx = jnp.arange(kmax, dtype=jnp.int32)

@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused voxel-block retention policy.
+
+The semantic map insert (ops/hashmap.py) applies the reference's
+VoxelBlock::AddPoint policy (/root/reference
+cpp/sage_icp/core/VoxelHashMap.hpp:45-70) to every voxel touched by a
+frame: incoming points are processed IN SCAN ORDER per voxel, mutating
+the block's count and contents (append / drop / overwrite-first-label-0).
+The XLA formulation runs one lax.while_loop round per incoming point
+rank; each round re-launches a handful of elementwise kernels over the
+compact (U, K) buffers, and the fixed per-round overhead (~1 ms) — not
+bandwidth — dominates (docs/PERF.md).
+
+This kernel runs ALL rounds over a row tile in one VMEM-resident pass:
+block planes load once, every round is pure VPU work on registers/VMEM,
+and the final planes/counts store once. The rounds run in an IN-KERNEL
+lax.fori_loop whose trip count is the frame's ACTUAL maximum
+points-per-voxel (an SMEM scalar): one compiled region (a static unroll
+of R_max pl.when rounds exploded Mosaic compile time), zero wasted
+rounds. The loop-carried round index selects incoming columns by
+one-hot masking (dynamic lane extraction lowers poorly on TPU).
+
+Input layout (prepared by hashmap.insert):
+  * block planes bx/by/bz/bl: (U, K) int16 quantized voxel-local
+  * counts, seglen: (U, 1) int32 — seglen pre-clipped to R_max and zeroed
+    for rows without a slot
+  * inc: (U, 4*R_max) int16 — each row's incoming points, interleaved
+    [x y z enc] per rank (a contiguous window of the voxel-sorted scan);
+    enc packs the class code into the label: enc = label | cls << 12,
+    cls in {0: label-0, 1: basic class, 2: critical class}
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CLS_SHIFT = 12
+LABEL_MASK = (1 << CLS_SHIFT) - 1
+
+
+def _kernel(smem_ref, bx_ref, by_ref, bz_ref, bl_ref, cnt_ref, seg_ref,
+            inc_ref, ox_ref, oy_ref, oz_ref, ol_ref, ocnt_ref, zl_ref, *,
+            n_rounds: int, basic: int, kmax: int):
+    ox_ref[:] = bx_ref[:]
+    oy_ref[:] = by_ref[:]
+    oz_ref[:] = bz_ref[:]
+    ol_ref[:] = bl_ref[:]
+    ocnt_ref[:] = cnt_ref[:]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, bl_ref.shape, 1)  # (TU, K)
+    lane_ok = kiota < kmax  # trailing tile-padding lanes
+    zl_ref[:] = (
+        (bl_ref[:].astype(jnp.int32) == 0)
+        & (kiota < cnt_ref[:])
+        & lane_ok
+    ).astype(jnp.int32)
+    seg = seg_ref[:]  # (TU, 1)
+    max_rounds = smem_ref[0, 0]
+    inc32 = inc_ref[:].astype(jnp.int32)  # (TU, 4*R_max), loaded once
+    inc_iota = jax.lax.broadcasted_iota(jnp.int32, inc32.shape, 1)
+
+    def _round(r, carry):
+        def pick(c):  # one-hot dynamic column extraction -> (TU, 1)
+            return jnp.sum(
+                jnp.where(inc_iota == 4 * r + c, inc32, 0),
+                axis=1,
+            )[:, None]
+
+        cnt = ocnt_ref[:]  # (TU, 1)
+        act = r < seg  # (TU, 1) bool
+        ix, iy, iz, enc = pick(0), pick(1), pick(2), pick(3)
+        cls = enc >> CLS_SHIFT  # 0 = label-0, 1 = basic, 2 = critical
+        lab = enc & LABEL_MASK
+        zl = zl_ref[:] != 0  # (TU, K)
+        # first zero slot via min-index (Mosaic's argmax lowering is
+        # f32-only)
+        zidx = jnp.min(
+            jnp.where(zl, kiota, jnp.int32(2**30)), axis=1
+        )[:, None]  # (TU, 1)
+        has_zero = zidx < jnp.int32(2**30)
+        first_zero = jnp.where(has_zero, zidx, 0)
+
+        append_basic = cnt < basic
+        overwrite_b = ~append_basic & (cls == 1)
+        append_crit = ~append_basic & (cls == 2) & (cnt < kmax)
+        overwrite_c = ~append_basic & (cls == 2) & (cnt >= kmax)
+
+        do_append = act & (append_basic | append_crit)
+        do_over = act & (overwrite_b | overwrite_c) & has_zero
+        target = jnp.where(do_append, cnt, first_zero)  # (TU, 1)
+        write = do_append | do_over
+        sel = write & (kiota == target)  # (TU, K)
+
+        ox_ref[:] = jnp.where(sel, ix.astype(jnp.int16), ox_ref[:])
+        oy_ref[:] = jnp.where(sel, iy.astype(jnp.int16), oy_ref[:])
+        oz_ref[:] = jnp.where(sel, iz.astype(jnp.int16), oz_ref[:])
+        ol_ref[:] = jnp.where(sel, lab.astype(jnp.int16), ol_ref[:])
+        # a written slot is zero-live iff the appended label is 0
+        zl_ref[:] = jnp.where(sel, (lab == 0).astype(jnp.int32), zl_ref[:])
+        ocnt_ref[:] = cnt + do_append.astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, max_rounds, _round, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rounds", "basic", "rows_per_block", "interpret"),
+)
+def apply_policy(
+    bx: jax.Array,  # (U, K) int16 block x plane, quantized voxel-local
+    by: jax.Array,
+    bz: jax.Array,
+    bl: jax.Array,  # (U, K) int16 block labels
+    counts: jax.Array,  # (U, 1) int32
+    seglen: jax.Array,  # (U, 1) int32, clipped to n_rounds, 0 = inactive
+    inc: jax.Array,  # (U, 4*n_rounds) int16 interleaved incoming points
+    max_rounds: jax.Array,  # int32 scalar: frame's actual max rank
+    n_rounds: int,
+    basic: int,
+    rows_per_block: int = 256,
+    interpret: bool = False,
+):
+    """Returns (bx', by', bz', bl', counts') after applying the retention
+    policy for every row's incoming segment, in order."""
+    U, K = bx.shape
+    TU = min(rows_per_block, U)
+    assert U % TU == 0, f"rows {U} not divisible by block {TU}"
+
+    grid = (U // TU,)
+    plane = pl.BlockSpec((TU, K), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col_i = pl.BlockSpec((TU, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    inc_spec = pl.BlockSpec(
+        (TU, inc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, n_rounds=n_rounds, basic=basic, kmax=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            plane, plane, plane, plane,
+            col_i, col_i,
+            inc_spec,
+        ],
+        out_specs=[plane, plane, plane, plane, col_i],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, K), jnp.int16),
+            jax.ShapeDtypeStruct((U, K), jnp.int16),
+            jax.ShapeDtypeStruct((U, K), jnp.int16),
+            jax.ShapeDtypeStruct((U, K), jnp.int16),
+            jax.ShapeDtypeStruct((U, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TU, K), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(max_rounds, jnp.int32).reshape(1, 1),
+        bx, by, bz, bl, counts, seglen, inc,
+    )

@@ -34,7 +34,7 @@ def save_state(path: str, odom: SageICP) -> None:
         thr_deviation=np.asarray(s.threshold.model_deviation),
         thr_sse=np.asarray(s.threshold.sse),
         thr_n=np.asarray(s.threshold.num_samples),
-        trajectory=np.asarray(odom.poses) if odom.poses else np.zeros((0, 4, 4)),
+        trajectory=odom.trajectory(),
     )
 
 

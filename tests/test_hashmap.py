@@ -201,3 +201,36 @@ def test_negative_coords_truncation():
     assert int(np.asarray(state.counts).sum()) == 2
     live = np.asarray(state.counts) > 0
     assert live.sum() == 1
+
+
+def test_policy_kernel_matches_xla_loop(rng):
+    """The fused Pallas retention-policy kernel (ops/pallas_insert.py) must
+    be state-identical to the reference-shaped lax.while_loop path."""
+    # spread 2.5 -> at most 6^3 = 216 distinct voxels < the 256-row
+    # capacity, so the oracle comparison sees no capacity-drop effects
+    pts = random_scan(rng, 640, spread=2.5)
+    n = len(pts)
+    args = (
+        jnp.asarray(pts, dtype=jnp.float32),
+        jnp.ones((n,), dtype=bool),
+        VOXEL,
+        BASIC,
+        make_mask(),
+    )
+    a = hm.insert(mk_state(), *args, unique_voxel_capacity=256,
+                  policy_kernel=True)
+    b = hm.insert(mk_state(), *args, unique_voxel_capacity=256,
+                  policy_kernel=False)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+    np.testing.assert_array_equal(np.asarray(a.keys), np.asarray(b.keys))
+    np.testing.assert_allclose(
+        np.asarray(a.first_pts), np.asarray(b.first_pts)
+    )
+    # and the kernel path still matches the oracle end to end
+    oracle = OracleVoxelMap(VOXEL, 100.0, BASIC, CRITICAL, BASIC_LABELS)
+    oracle.add_points(pts)
+    np.testing.assert_allclose(
+        sorted_rows(state_pointcloud(a)), sorted_rows(oracle.pointcloud()),
+        atol=1e-3,
+    )
