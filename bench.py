@@ -38,6 +38,12 @@ def main():
     # fitted to this world's measured occupancy (models/pipeline.PRESETS);
     # overflow guards below verify nothing is silently dropped
     config = pl.PRESETS[os.environ.get("BENCH_PRESET", "synthetic")]
+    if "BENCH_DENSE_GRID" in os.environ:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, dense_grid=os.environ["BENCH_DENSE_GRID"] == "1"
+        )
     odom = pl.SageICP(config)
 
     # density 2: the downsampled per-frame point count then matches the
@@ -57,7 +63,9 @@ def main():
     for i in range(n_warmup):
         odom.register_frame(scans[i])
 
-    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+    # 30-frame chunks amortize the remote per-dispatch cost further than 10
+    # (measured 35.3 -> 40.8 scans/s); one chunk still compiles in seconds
+    chunk = int(os.environ.get("BENCH_CHUNK", "30"))
     n_frames -= n_frames % chunk
     # compile + warm the chunked step (re-registers warmup frames; state
     # content does not affect steady-state timing)

@@ -101,6 +101,14 @@ class SageConfig:
     # distance matrices. Falls back to the reference-shaped path when the
     # map extent does not fit the 10-bit packing.
     use_fast_correspondences: bool = True
+    # toroidal dense voxel->slot index (ops/hashmap.py grid_probe),
+    # geometrically valid while the culled map spans < 256 voxels in x/y
+    # and < 64 in z. MEASURED NET-NEGATIVE at current capacities (bench
+    # 32.1 vs 42.6 scans/s): the one-row-gather probe does beat the
+    # hash-window gather, but the per-insert index maintenance (stale
+    # clears + row scatters) costs more than the probe saves. Kept
+    # correct and tested for larger-map regimes where probing dominates.
+    dense_grid: bool = False
     corr_unique_voxel_rows: int = 4096
     corr_queries_per_voxel: int = 8
     corr_overflow_rows: int = 1024
@@ -194,6 +202,13 @@ class StepAux(NamedTuple):
 
 def init_state(config: SageConfig) -> OdomState:
     dt = config.jax_dtype()
+    if config.dense_grid:
+        span = 2.0 * config.local_map_range / config.voxel_size_map + 4
+        assert span < (1 << hm.GRID_XY_BITS), (
+            "dense_grid requires the culled map to span < 256 voxels; "
+            "lower local_map_range, raise voxel_size_map, or set "
+            "dense_grid=False"
+        )
 
     # distinct device buffers per leaf: the step donates the whole state,
     # and donating one buffer twice is a runtime error
@@ -201,7 +216,10 @@ def init_state(config: SageConfig) -> OdomState:
         return jnp.asarray(np.eye(4), dtype=dt)
 
     return OdomState(
-        map=hm.create(config.map_capacity, config.points_per_voxel, dt),
+        map=hm.create(
+            config.map_capacity, config.points_per_voxel, dt,
+            dense_grid=config.dense_grid,
+        ),
         last_pose=eye(),
         prev_pose=eye(),
         first_pose=eye(),
@@ -250,10 +268,12 @@ def voxelize(points, valid, config: SageConfig):
     lut = scan_ops.make_label_group_lut(list(map(list, config.voxel_labels)))
     sizes = jnp.asarray(config.voxel_size, dtype=points.dtype)
     frame_ds, frame_valid = scan_ops.voxel_downsample(
-        points, valid, lut, sizes, 0.5, config.frame_capacity
+        points, valid, lut, sizes, 0.5, config.frame_capacity,
+        voxel_labels=config.voxel_labels,
     )
     source, source_valid = scan_ops.voxel_downsample(
-        frame_ds, frame_valid, lut, sizes, 1.5, config.source_capacity
+        frame_ds, frame_valid, lut, sizes, 1.5, config.source_capacity,
+        voxel_labels=config.voxel_labels,
     )
     return (source, source_valid), (frame_ds, frame_valid)
 

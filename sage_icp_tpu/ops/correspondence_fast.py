@@ -60,7 +60,7 @@ def pack_rel(rel: jax.Array) -> jax.Array:
 class ProbeTables(NamedTuple):
     """Per-frame probe acceleration structure (derived from MapState)."""
 
-    window: jax.Array  # int32[C, 2D]: packed keys [0:D] + counts [D:2D]
+    window: jax.Array  # int32[C, D]: packed keys of slots [i, i+D)
     center: jax.Array  # int32[3] the packing center voxel
     points2: jax.Array  # int16[C, 4*K] PLANAR quantized block view
     #                     [x*K | y*K | z*K | l*K], voxel-local offsets
@@ -73,13 +73,13 @@ def build_probe_tables(
     never gathers. Cost ~ (2D+2) * C * 4 bytes of streaming."""
     rel = state.keys - center_voxel[None, :]
     packed = pack_rel(rel)  # -1 for out-of-range / sentinel keys
-    kwin = jnp.stack(
+    # keys only: per-lane candidate validity comes from the SANITIZED
+    # label plane (-1 at/beyond each block's count, hashmap insert), so
+    # windows no longer carry counts — half the build and half the
+    # probe-gather bytes
+    window = jnp.stack(
         [jnp.roll(packed, -d) for d in range(probe_depth)], axis=1
-    )
-    cwin = jnp.stack(
-        [jnp.roll(state.counts, -d) for d in range(probe_depth)], axis=1
-    )
-    window = jnp.concatenate([kwin, cwin], axis=1)  # (C, 2D)
+    )  # (C, D)
     k = state.points_per_voxel
     # the map stores blocks PLANAR already (hashmap.MapState.points is
     # (C, 4, K)), so the gather-ready flat view is a free reshape —
@@ -95,25 +95,23 @@ def build_probe_tables(
 
 def probe(
     tables: ProbeTables, abs_keys: jax.Array, rel_codes: jax.Array, probe_depth: int
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array]:
     """Find slots for voxel keys. abs_keys: (..., 3) absolute int coords
     (for hashing); rel_codes: (...,) packed codes (for comparison).
-    Returns (found bool, slot int32, count int32)."""
+    Returns (found bool, slot int32)."""
     cap = tables.window.shape[0]
     D = probe_depth
     h = hm.hash_keys(abs_keys, cap)  # (...,)
     # flat-index wide-row gather (multi-dim index gathers lower much slower)
-    win = tables.window[h.reshape(-1)].reshape(h.shape + (2 * D,))
-    match = win[..., :D] == rel_codes[..., None]
+    win = tables.window[h.reshape(-1)].reshape(h.shape + (D,))
+    match = win == rel_codes[..., None]
     # rel_codes == -1 (invalid) never matches: window stores -1 only for
     # out-of-range keys, and match against -1 must be suppressed
     match = match & (rel_codes[..., None] >= 0)
     found = jnp.any(match, axis=-1)
     d1 = jnp.argmax(match, axis=-1)
     slot = (h + d1) & (cap - 1)
-    cnt = jnp.take_along_axis(win[..., D:], d1[..., None], axis=-1)[..., 0]
-    cnt = jnp.where(found, cnt, 0)
-    return found, slot, cnt
+    return found, slot
 
 
 def _pallas_mode() -> str:
@@ -246,10 +244,18 @@ def corr_setup(
     # --- probe the 27 neighbors of every row voxel -------------------------
     nb_rel = row_rel[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]  # (R,27,3)
     nb_abs = nb_rel + tables.center[None, None, :]
-    nb_code = jnp.where(
-        row_live[:, None], pack_rel(nb_rel), -1
-    )
-    found, slot, cnt = probe(tables, nb_abs, nb_code, probe_depth)  # (R,27)
+    if state.grid is not None:
+        # toroidal dense index: ONE 8-byte-row gather per neighbor instead
+        # of a 64 B hash-window row gather; per-lane validity comes from
+        # the sanitized label plane (-1 beyond each block's count), so no
+        # counts gather is needed at all
+        found, slot = hm.grid_probe(state, nb_abs)  # (R, 27)
+        found = found & row_live[:, None]
+    else:
+        nb_code = jnp.where(
+            row_live[:, None], pack_rel(nb_rel), -1
+        )
+        found, slot = probe(tables, nb_abs, nb_code, probe_depth)
 
     # --- fetch candidate blocks (flat wide-row gather, PLANAR layout) -------
     # rows stay int16 (half the gather bytes of f32); dequantization to
@@ -263,9 +269,9 @@ def corr_setup(
     cy_q = raw[:, :, 1, :].reshape(R, M)
     cz_q = raw[:, :, 2, :].reshape(R, M)
     cl = raw[:, :, 3, :].reshape(R, M)
-    kidx = jnp.arange(K, dtype=jnp.int32)
-    cmask = found[..., None] & (kidx[None, None, :] < cnt[..., None])  # (R,27,K)
-    cm = cmask.reshape(R, M)
+    # block-level mask only: per-lane validity is already encoded in the
+    # sanitized label plane (-1 at/beyond each block's count)
+    cm = jnp.broadcast_to(found[..., None], (R, 27, K)).reshape(R, M)
 
     # the label plane carries the invalid-lane sentinel (-1): the kernel
     # pushes invalid lanes to +inf weighted metric (loses every argmin) and

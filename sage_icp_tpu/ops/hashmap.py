@@ -84,6 +84,11 @@ class MapState(NamedTuple):
     # each block's FIRST point, kept as a side table so the distance cull
     # (remove_far) reads 3 MB instead of striding the whole block buffer
     first_pts: jax.Array  # f32[C, 3]
+    # OPTIONAL toroidal dense index (see grid_probe): voxel -> slot in ONE
+    # 8-byte-row gather instead of a D-deep hash-window probe. None when
+    # the map was created with dense_grid=False (scratch maps, fallbacks).
+    grid: jax.Array | None = None  # int32[2^22, 2] rows [slot | hi-check]
+    #                                slot -1 = empty cell
 
     @property
     def capacity(self) -> int:
@@ -105,14 +110,83 @@ EMPTY_KEY = -(1 << 20)
 QSCALE = 32767.0
 
 
-def create(capacity: int, points_per_voxel: int, dtype=jnp.float32) -> MapState:
+# Toroidal dense-index geometry: 8 bits for x and y (256-voxel span), 6
+# for z (64-voxel span). The range-culled local map spans at most
+# 2*local_map_range/voxel_size voxels (250 at the KITTI 100 m / 0.8 m
+# setting) horizontally and far less vertically, so modular indexing is
+# alias-free among LIVE voxels; stale/ancient cells are disambiguated by
+# the high-bits checksum in grid_hi.
+GRID_XY_BITS = 8
+GRID_Z_BITS = 6
+GRID_SIZE = 1 << (2 * GRID_XY_BITS + GRID_Z_BITS)  # 2^22 cells
+
+
+def grid_index(keys: jax.Array) -> jax.Array:
+    """Voxel coords (…, 3) -> toroidal dense-grid cell index."""
+    kx, ky, kz = keys[..., 0], keys[..., 1], keys[..., 2]
+    return (
+        ((kx & ((1 << GRID_XY_BITS) - 1)) << (GRID_XY_BITS + GRID_Z_BITS))
+        | ((ky & ((1 << GRID_XY_BITS) - 1)) << GRID_Z_BITS)
+        | (kz & ((1 << GRID_Z_BITS) - 1))
+    )
+
+
+def grid_hi_code(keys: jax.Array) -> jax.Array:
+    """Checksum of the coordinate bits ABOVE the torus period — two voxels
+    in the same cell always differ here (hash-mixed; wraparound int32)."""
+    hx = keys[..., 0] >> GRID_XY_BITS
+    hy = keys[..., 1] >> GRID_XY_BITS
+    hz = keys[..., 2] >> GRID_Z_BITS
+    return (
+        hx * jnp.int32(73856093)
+        ^ hy * jnp.int32(19349663)
+        ^ hz * jnp.int32(83492791)
+    )
+
+
+def create(
+    capacity: int, points_per_voxel: int, dtype=jnp.float32,
+    dense_grid: bool = False,
+) -> MapState:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return MapState(
         keys=jnp.full((capacity, 3), EMPTY_KEY, dtype=jnp.int32),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
         points=jnp.zeros((capacity, 4, points_per_voxel), dtype=jnp.int16),
         first_pts=jnp.full((capacity, 3), INVALID_COORD, dtype=dtype),
+        grid=(
+            jnp.concatenate(
+                [
+                    jnp.full((GRID_SIZE, 1), -1, jnp.int32),
+                    jnp.zeros((GRID_SIZE, 1), jnp.int32),
+                ],
+                axis=1,
+            )
+            if dense_grid
+            else None
+        ),
     )
+
+
+def grid_probe(
+    state: MapState, query_keys: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Dense-index lookup: (found, slot (clamped 0)) for voxel keys
+    (…, 3). ONE 8-byte-row gather into the torus + a checksum compare
+    replace the D-slot hash-window probe. Element-gather latency is per
+    ROW on TPU, so everything needed must ride one row — a first version
+    with separate slot/checksum/count gathers was SLOWER than the window
+    probe it replaced (docs/PERF.md). Block emptiness (culled voxels) is
+    NOT resolved here: the fast correspondence path reads validity from
+    the sanitized label lane (-1 beyond each block's count) and insert
+    re-reads counts[slot] itself. Entries whose slot was re-claimed by
+    another voxel are cleared at claim time, so a checksum match is
+    definitive."""
+    t = grid_index(query_keys)
+    g = state.grid[t]  # (…, 2) one row gather
+    slot = g[..., 0]
+    found = (slot >= 0) & (g[..., 1] == grid_hi_code(query_keys))
+    return found, jnp.where(found, slot, 0)
 
 
 def quantize_points(
@@ -278,13 +352,17 @@ def insert(
     )
 
     # --- resolve a slot per unique voxel (lookup, then claim races) ---------
-    if tables is not None:
+    if state.grid is not None:
+        # toroidal dense index: one row gather per voxel
+        found_u, slots_u = grid_probe(state, ukeys)
+        slot_u = jnp.where(u_live & found_u, slots_u, -1)
+    elif tables is not None:
         # packed-window probe (see ops.correspondence_fast): one wide-row
         # gather per voxel instead of D tiny key gathers
         from sage_icp_tpu.ops import correspondence_fast as cf
 
         rel_u = ukeys - tables.center[None, :]
-        found_u, slots_u, _ = cf.probe(
+        found_u, slots_u = cf.probe(
             tables, ukeys, cf.pack_rel(rel_u), probe_depth
         )
         slot_u = jnp.where(u_live & found_u, slots_u, -1)
@@ -293,6 +371,14 @@ def insert(
     need_claim = u_live & (slot_u < 0)
     h = hash_keys(ukeys, cap)
     taken = state.counts > 0  # live slots can't be claimed
+    # ...nor can slots already resolved THIS frame by the pre-claim lookup:
+    # a culled block being revived in place (count 0, key still matching)
+    # would otherwise collide with a claimant and two rows would write one
+    # slot (silent data loss under the unique-indices write-back)
+    pre = u_live & (slot_u >= 0)
+    taken = taken.at[jnp.where(pre, slot_u, cap)].set(
+        True, mode="drop", unique_indices=True
+    )
     uid = jnp.arange(U, dtype=jnp.int32)
 
     # rounds run only while someone is unresolved: at steady state almost
@@ -327,6 +413,26 @@ def insert(
     wnew = jnp.where(newly, slot_u, cap)
     new_keys = state.keys.at[wnew].set(ukeys, mode="drop", unique_indices=True)
     new_counts = state.counts.at[wnew].set(0, mode="drop", unique_indices=True)
+
+    # --- maintain the toroidal dense index ----------------------------------
+    grid = state.grid
+    if grid is not None:
+        # a re-claimed slot's PREVIOUS owner (a culled voxel) may still have
+        # a grid entry pointing here — clear it, unless that cell was since
+        # taken over by some other live voxel
+        old_keys = state.keys[jnp.where(newly, slot_u, 0)]  # pre-overwrite
+        had_owner = newly & jnp.any(old_keys != EMPTY_KEY, axis=-1)
+        t_old = grid_index(old_keys)
+        still_ours = grid[t_old, 0] == slot_u
+        grid = grid.at[
+            jnp.where(had_owner & still_ours, t_old, GRID_SIZE), 0
+        ].set(-1, mode="drop")
+        # (re)write entries for every voxel touched this frame; distinct
+        # live voxels occupy distinct cells (range-culled span < period)
+        t_new = jnp.where(u_live & (slot_u >= 0), grid_index(ukeys),
+                          GRID_SIZE)
+        rows = jnp.stack([slot_u, grid_hi_code(ukeys)], axis=-1)
+        grid = grid.at[t_new].set(rows, mode="drop", unique_indices=True)
 
     has_slot = u_live & (slot_u >= 0)
     rounds = jnp.minimum(
@@ -390,7 +496,7 @@ def insert(
         ccounts = cnt2[:, 0]
         return _insert_writeback(
             state, points2, compact, ccounts, has_slot, slot_u, ukeys,
-            new_keys, new_counts, voxel_size, cap, kmax, U,
+            new_keys, new_counts, grid, voxel_size, cap, kmax, U,
         )
 
     blk_labels0 = compact[:, 3, :].astype(jnp.int32)
@@ -440,17 +546,31 @@ def insert(
     )
     return _insert_writeback(
         state, points2, compact, ccounts, has_slot, slot_u, ukeys,
-        new_keys, new_counts, voxel_size, cap, kmax, U,
+        new_keys, new_counts, grid, voxel_size, cap, kmax, U,
     )
 
 
 def _insert_writeback(
     state, points2, compact, ccounts, has_slot, slot_u, ukeys, new_keys,
-    new_counts, voxel_size, cap, kmax, U
+    new_counts, grid, voxel_size, cap, kmax, U
 ):
     """Write the policy-mutated compact blocks back into the table (slots
     are unique across live rows: lookups return distinct slots for
-    distinct keys and claim races have a single winner per slot)."""
+    distinct keys and claim races have a single winner per slot).
+
+    The label plane is SANITIZED on the way out: lanes at or beyond the
+    block's count get label -1, so the fast correspondence path can read
+    per-lane validity straight from storage (no counts gather per probed
+    neighbor — see grid_probe)."""
+    kidx2 = jnp.arange(kmax, dtype=jnp.int32)
+    lab_plane = jnp.where(
+        kidx2[None, :] < ccounts[:, None],
+        compact[:, 3, :],
+        jnp.int16(-1),
+    )
+    compact = jnp.concatenate(
+        [compact[:, :3, :], lab_plane[:, None, :]], axis=1
+    )
     wslot2 = jnp.where(has_slot, slot_u, cap)
     new_points = points2.at[wslot2].set(
         compact.reshape(U, 4 * kmax), mode="drop", unique_indices=True
@@ -468,7 +588,7 @@ def _insert_writeback(
     )
     return MapState(
         keys=new_keys, counts=new_counts, points=new_points,
-        first_pts=new_first,
+        first_pts=new_first, grid=grid,
     )
 
 
@@ -483,7 +603,10 @@ def remove_far(state: MapState, origin: jax.Array, max_distance) -> MapState:
 
 
 def clear(state: MapState) -> MapState:
-    return create(state.capacity, state.points_per_voxel, state.points.dtype)
+    return create(
+        state.capacity, state.points_per_voxel, state.first_pts.dtype,
+        dense_grid=state.grid is not None,
+    )
 
 
 def is_empty(state: MapState) -> jax.Array:

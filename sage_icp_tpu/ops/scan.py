@@ -86,6 +86,38 @@ def make_label_group_lut(voxel_labels: list[list[int]], num_labels: int = 260) -
     return lut
 
 
+# Element gathers run at ~0.1-1 GB/s on TPU (docs/PERF.md), so a per-point
+# table lookup over 135k labels costs ~1 ms; up to this many table entries
+# a chain of vectorized equality-compares (fully fused by XLA) is faster.
+_COMPARE_CHAIN_MAX = 48
+
+
+def label_groups(
+    labels_i32: jax.Array, voxel_labels: tuple | None, group_lut: jax.Array
+) -> jax.Array:
+    """Per-point class-group id (-1 = none). When the static label sets are
+    given and small, lower as a compare chain instead of a LUT gather."""
+    if voxel_labels is not None and (
+        sum(len(g) for g in voxel_labels) <= _COMPARE_CHAIN_MAX
+    ):
+        group = jnp.full(labels_i32.shape, -1, dtype=jnp.int32)
+        for g, labs in enumerate(voxel_labels):
+            hit = jnp.zeros(labels_i32.shape, dtype=bool)
+            for lab in labs:
+                hit = hit | (labels_i32 == lab)
+            group = jnp.where(hit, g, group)
+        return group
+    return group_lut[jnp.clip(labels_i32, 0, group_lut.shape[0] - 1)]
+
+
+def label_in_set(labels_i32: jax.Array, wanted: tuple) -> jax.Array:
+    """Vectorized membership test via compare chain (no gather)."""
+    hit = jnp.zeros(labels_i32.shape, dtype=bool)
+    for lab in wanted:
+        hit = hit | (labels_i32 == lab)
+    return hit
+
+
 def voxel_downsample(
     points: jax.Array,
     valid: jax.Array,
@@ -93,12 +125,15 @@ def voxel_downsample(
     voxel_sizes: jax.Array,
     vox_scale: float,
     out_capacity: int,
+    voxel_labels: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Class-adaptive voxel downsample, keeping the first point in scan
     order per (group, voxel) cell (reference Preprocessing.cpp:44-84).
 
     points: (N, 4); valid: (N,); group_lut: (L,) label->group;
-    voxel_sizes: (G,) per-group base size (scaled by vox_scale).
+    voxel_sizes: (G,) per-group base size (scaled by vox_scale);
+    voxel_labels: optional static label sets (enables the compare-chain
+    group mapping — see label_groups).
     Returns (out_points (out_capacity, 4), out_valid (out_capacity,)).
 
     Implementation: per point compute (group, voxel key); sort by a packed
@@ -107,8 +142,7 @@ def voxel_downsample(
     """
     n = points.shape[0]
     label = points[:, 3].astype(jnp.int32)
-    label = jnp.clip(label, 0, group_lut.shape[0] - 1)
-    group = jnp.where(valid, group_lut[label], -1)
+    group = jnp.where(valid, label_groups(label, voxel_labels, group_lut), -1)
     in_group = group >= 0
     g_safe = jnp.maximum(group, 0)
     sizes = voxel_sizes[g_safe] * vox_scale
@@ -147,21 +181,26 @@ def voxel_downsample(
     )
     keep = head & ig
 
-    # Compact the kept points to the front of a fixed-size output by
-    # GATHER: one small int32 scatter records each kept head's sorted
-    # position, then the 4-lane payload moves by row gather (scatters run
-    # at 0.1-1 GB/s on TPU; see docs/PERF.md).
-    rank = jnp.cumsum(keep) - 1  # output slot for kept points
-    slot = jnp.where(keep & (rank < out_capacity), rank, out_capacity)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    hp = jnp.full((out_capacity + 1,), n, jnp.int32).at[slot].set(
-        pos, mode="drop", unique_indices=True
-    )[:out_capacity]
-    out_val = hp < n
-    src = jnp.stack([sx, sy, sz, sl], axis=-1)  # sorted planes
+    # Compact the kept points to the front with ONE more stable payload
+    # sort on the keep bit: the scatter + 16-byte-row-gather form costs
+    # ~1-3 ms at scan scale (scatters 0.1-1 GB/s, narrow-row gathers
+    # ~1.3 GB/s) while an extra 5-operand sort is ~0.3 ms — XLA sorts are
+    # latency-bound, nearly free in extra operands (docs/PERF.md).
+    # Stability preserves the voxel-sorted order, as before.
+    _, ox, oy, oz, ol = jax.lax.sort(
+        ((~keep).astype(jnp.uint32), sx, sy, sz, sl),
+        num_keys=1,
+        is_stable=True,
+    )
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    take = min(out_capacity, n)
+    inval = jnp.asarray(INVALID_COORD, points.dtype)
+    cols = [ox[:take], oy[:take], oz[:take], ol[:take]]
+    if take < out_capacity:
+        pad = jnp.full((out_capacity - take,), inval, points.dtype)
+        cols = [jnp.concatenate([c, pad]) for c in cols]
+    out_val = jnp.arange(out_capacity, dtype=jnp.int32) < n_keep
     out_pts = jnp.where(
-        out_val[:, None],
-        src[jnp.minimum(hp, n - 1)],
-        jnp.asarray(INVALID_COORD, points.dtype),
+        out_val[:, None], jnp.stack(cols, axis=-1), inval
     )
     return out_pts, out_val

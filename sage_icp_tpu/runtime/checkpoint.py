@@ -27,6 +27,11 @@ def save_state(path: str, odom: SageICP) -> None:
         map_counts=np.asarray(s.map.counts),
         map_points=np.asarray(s.map.points),
         map_first=np.asarray(s.map.first_pts),
+        **(
+            dict(map_grid=np.asarray(s.map.grid))
+            if s.map.grid is not None
+            else {}
+        ),
         last_pose=np.asarray(s.last_pose),
         prev_pose=np.asarray(s.prev_pose),
         first_pose=np.asarray(s.first_pose),
@@ -54,6 +59,7 @@ def load_state(path: str, odom: SageICP) -> SageICP:
             counts=jnp.asarray(z["map_counts"]),
             points=jnp.asarray(z["map_points"]),
             first_pts=jnp.asarray(z["map_first"]),
+            grid=jnp.asarray(z["map_grid"]) if "map_grid" in z else None,
         ),
         last_pose=jnp.asarray(z["last_pose"]),
         prev_pose=jnp.asarray(z["prev_pose"]),

@@ -143,7 +143,7 @@ def main():
         nb_rel = row_rel[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]
         nb_abs = nb_rel + tables.center[None, None, :]
         nb_code = jnp.where(row_live[:, None], cf.pack_rel(nb_rel), -1)
-        found, slot, cnt = cf.probe(tables, nb_abs, nb_code, cfg.probe_depth)
+        found, slot = cf.probe(tables, nb_abs, nb_code, cfg.probe_depth)
         return found, slot, cnt, out
 
     chain("+ probe 27 neighbors", lambda q: stage_probe(q)[2], query)

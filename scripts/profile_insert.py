@@ -106,7 +106,7 @@ def main():
         out = s_compact(p)
         ukeys, u_live = out[2], out[3]
         rel_u = ukeys - tables.center[None, :]
-        found_u, slots_u, _ = cf.probe(
+        found_u, slots_u = cf.probe(
             tables, ukeys, cf.pack_rel(rel_u), probe_depth)
         slot_u = jnp.where(u_live & found_u, slots_u, -1)
         return slot_u, out

@@ -234,3 +234,57 @@ def test_policy_kernel_matches_xla_loop(rng):
         sorted_rows(state_pointcloud(a)), sorted_rows(oracle.pointcloud()),
         atol=1e-3,
     )
+
+
+def test_dense_grid_matches_window_lookup(rng):
+    """grid_probe must agree with the D-probe hash lookup through insert,
+    cull, slot reuse, and voxel revisit (the stale-entry edge cases)."""
+    st = hm.create(256, BASIC + CRITICAL, dense_grid=True)
+
+    def check(state, keys):
+        f, s = hm.grid_probe(state, jnp.asarray(keys, jnp.int32))
+        f, s = np.asarray(f), np.asarray(s)
+        cnts = np.asarray(state.counts)
+        ref = np.asarray(hm.lookup(state, jnp.asarray(keys, jnp.int32)))
+        live = (ref >= 0) & (cnts[np.maximum(ref, 0)] > 0)
+        got_live = f & (cnts[s] > 0)
+        np.testing.assert_array_equal(got_live, live)
+        # where both live, slots must agree
+        np.testing.assert_array_equal(s[live], ref[live])
+        # sanitized storage: lanes at/beyond count carry label -1, so a
+        # found block exposes exactly `count` valid lanes
+        if live.any():
+            labs = np.asarray(state.points)[s[live], 3, :]
+            assert ((labs != -1).sum(axis=1) == cnts[s[live]]).all()
+
+    def ins(state, pts):
+        p = np.asarray(pts, dtype=np.float32)
+        return hm.insert(
+            state, jnp.asarray(p), jnp.ones(len(p), bool), VOXEL, BASIC,
+            make_mask(), unique_voxel_capacity=128, policy_kernel=False,
+        )
+
+    # fill a near region
+    near = random_scan(rng, 120, spread=4.0)
+    st = ins(st, near)
+    probes = trunc = np.unique(
+        np.trunc(near[:, :3] / VOXEL).astype(np.int32), axis=0
+    )
+    check(st, probes)
+    # cull everything far from a new origin -> stale grid entries
+    st = hm.remove_far(st, jnp.asarray([100.0, 0.0, 0.0]), 20.0)
+    check(st, probes)  # culled: live lookups must say empty
+    # insert a far region: claims reuse culled slots
+    far = random_scan(rng, 120, spread=4.0)
+    far[:, 0] += 100.0
+    st = ins(st, far)
+    fprobes = np.unique(
+        np.trunc(far[:, :3] / VOXEL).astype(np.int32), axis=0
+    )
+    check(st, fprobes)
+    check(st, probes)  # old voxels: no ghost hits through reused slots
+    # revisit the original region (loop closure)
+    st = hm.remove_far(st, jnp.asarray([0.0, 0.0, 0.0]), 20.0)
+    st = ins(st, near)
+    check(st, probes)
+    check(st, fprobes)
