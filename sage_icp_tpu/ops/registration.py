@@ -78,9 +78,37 @@ def build_normal_equations(
 def solve_increment(JTJ: jax.Array, JTr: jax.Array) -> jax.Array:
     """Solve JTJ x = -JTr. A tiny Tikhonov term keeps the solve finite when
     there are no correspondences (JTJ = 0 -> x = 0 -> loop terminates,
-    reproducing the reference's empty-map early return)."""
+    reproducing the reference's empty-map early return).
+
+    The 6x6 SPD solve is a STATICALLY UNROLLED Cholesky: scalar ops that
+    XLA fuses into one kernel. jax.scipy.linalg.solve lowers to a generic
+    batched Cholesky + two triangular-solve kernels whose serial launch
+    latency (~0.6 ms) dwarfed the whole rest of an ICP iteration
+    (docs/PERF.md, scripts/profile_iter.py)."""
     A = JTJ + 1e-8 * jnp.eye(6, dtype=JTJ.dtype)
-    x = jax.scipy.linalg.solve(A, -JTr, assume_a="pos")
+    b = -JTr
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j] - sum((L[i][k] * L[j][k] for k in range(j)),
+                              jnp.asarray(0.0, A.dtype))
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = []
+    for i in range(6):
+        y.append(
+            (b[i] - sum((L[i][k] * y[k] for k in range(i)),
+                        jnp.asarray(0.0, A.dtype))) / L[i][i]
+        )
+    x = [None] * 6
+    for i in reversed(range(6)):
+        x[i] = (
+            y[i] - sum((L[k][i] * x[k] for k in range(i + 1, 6)),
+                       jnp.asarray(0.0, A.dtype))
+        ) / L[i][i]
+    x = jnp.stack(x)
     # guard NaN/inf (singular geometry): a zero step terminates the loop
     return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
 

@@ -80,6 +80,34 @@ class SequenceResult:
         with open(os.path.join(out_dir, "time.txt"), "w") as f:
             for i, (ti, ta) in enumerate(zip(self.icp_times, self.total_times)):
                 f.write(f"{i} {ti} {ta}\n")
+        self.save_plot(os.path.join(out_dir, f"{self.seq_name}.png"))
+
+    def save_plot(self, path: str) -> None:
+        """Bird's-eye trajectory figure, estimated vs ground truth — the
+        offline counterpart of the reference eval publisher's per-sequence
+        .png dump (eval/kitti_pub.py:442-447)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # headless/minimal envs
+            return
+        fig, ax = plt.subplots(figsize=(6, 6))
+        est = np.asarray(self.est_poses)
+        ax.plot(est[:, 0, 3], est[:, 1, 3], "b-", lw=1.2, label="estimate")
+        if self.gt_poses is not None and len(self.gt_poses):
+            gt = np.asarray(self.gt_poses)
+            gt = np.linalg.inv(gt[0])[None] @ gt
+            ax.plot(gt[:, 0, 3], gt[:, 1, 3], "r--", lw=1.0,
+                    label="ground truth")
+        ax.set_aspect("equal")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.legend()
+        ax.set_title(self.seq_name)
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
 
 
 def run_sequence(
