@@ -154,3 +154,210 @@ def fused_semantic_nn(
         out_shape=[out_shape] * 5,
         interpret=interpret,
     )(smem, cx, cy, cz, cl, offx, offy, offz, queries)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused GN iteration: one kernel = transform + movers + semantic NN +
+# robust weights + partial normal equations.
+# ---------------------------------------------------------------------------
+#
+# JTJ/JTr for J = [I | -hat(s)] decompose into 17 weighted sums
+# (reference cpp/sage_icp/core/Registration.cpp:62-90):
+#   JTJ upper-left  = (sum w) I
+#   JTJ upper-right = -hat(sum w s)
+#   JTJ lower-right = delta_ij (Sxx+Syy+Szz) - S_ij,  S_ij = sum w s_i s_j
+#   JTr             = [sum w r ; sum w (s x r)]
+# plus the accepted-correspondence count. Each grid tile emits its
+# partials into one (1, 32) row; the caller sums rows and assembles the
+# 6x6 system. Per ICP iteration the only XLA work left is that scalar
+# assembly, the unrolled Cholesky, and the SE3 exp/compose.
+
+N_SUMS = 18  # w, w*s(3), w*s_i*s_j(6), w*r(3), w*(s x r)(3), ncorr, used
+
+
+def _gn_kernel(smem_ref, T_ref, cx_ref, cy_ref, cz_ref, cl_ref, ox_ref,
+               oy_ref, oz_ref, q0_ref, org_ref, rabs_ref, used_ref,
+               out_ref, *, n_queries: int, m_valid: int):
+    sem_th = smem_ref[0, 0]
+    scale = smem_ref[0, 1]
+    vox = smem_ref[0, 2]
+    max_corr2 = smem_ref[0, 3] * smem_ref[0, 3]
+    kth = smem_ref[0, 4]
+    iota = jax.lax.broadcasted_iota(jnp.int32, cx_ref.shape, 1)
+    lane_ok = iota < m_valid
+    clf = cl_ref[:].astype(jnp.float32)  # (TR, M)
+    invalid = ~lane_ok | (clf < 0.0)
+    cx = cx_ref[:].astype(jnp.float32) * scale + ox_ref[0, :][None, :]
+    cy = cy_ref[:].astype(jnp.float32) * scale + oy_ref[0, :][None, :]
+    cz = cz_ref[:].astype(jnp.float32) * scale + oz_ref[0, :][None, :]
+
+    ox_org = org_ref[:, 0][:, None]  # (TR, 1) row origin, world
+    oy_org = org_ref[:, 1][:, None]
+    oz_org = org_ref[:, 2][:, None]
+
+    acc = [jnp.zeros_like(ox_org) for _ in range(N_SUMS)]
+    for p in range(n_queries):
+        x0 = q0_ref[:, 4 * p + 0][:, None]
+        y0 = q0_ref[:, 4 * p + 1][:, None]
+        z0 = q0_ref[:, 4 * p + 2][:, None]
+        ql = q0_ref[:, 4 * p + 3][:, None]
+        # s = T . q0 (world frame), T from SMEM
+        sx = T_ref[0, 0] * x0 + T_ref[0, 1] * y0 + T_ref[0, 2] * z0 + T_ref[0, 3]
+        sy = T_ref[0, 4] * x0 + T_ref[0, 5] * y0 + T_ref[0, 6] * z0 + T_ref[0, 7]
+        sz = T_ref[0, 8] * x0 + T_ref[0, 9] * y0 + T_ref[0, 10] * z0 + T_ref[0, 11]
+        # movers: current voxel must equal the setup row voxel
+        mvx = jnp.trunc(sx / vox).astype(jnp.int32) == rabs_ref[:, 0][:, None]
+        mvy = jnp.trunc(sy / vox).astype(jnp.int32) == rabs_ref[:, 1][:, None]
+        mvz = jnp.trunc(sz / vox).astype(jnp.int32) == rabs_ref[:, 2][:, None]
+        used = (used_ref[:, p][:, None] != 0) & mvx & mvy & mvz
+
+        qx = sx - ox_org  # row-local query
+        qy = sy - oy_org
+        qz = sz - oz_org
+        dx = cx - qx
+        dy = cy - qy
+        dz = cz - qz
+        d2 = dx * dx + dy * dy + dz * dz  # (TR, M)
+        sem = (clf == ql) | ((clf * ql) == 0.0)
+        d2w = jnp.where(sem, d2 * sem_th, d2)
+        d2w = jnp.where(invalid, jnp.finfo(jnp.float32).max, d2w)
+        best = jnp.argmin(d2w, axis=1)
+        oh = (iota == best[:, None]).astype(jnp.float32)
+        inv_w = jnp.sum(jnp.where(invalid, oh, 0.0), axis=1, keepdims=True)
+        tx = jnp.sum(cx * oh, axis=1, keepdims=True)  # winner, row-local
+        ty = jnp.sum(cy * oh, axis=1, keepdims=True)
+        tz = jnp.sum(cz * oh, axis=1, keepdims=True)
+        rx = qx - tx  # residual r = s - t (translation-invariant)
+        ry = qy - ty
+        rz = qz - tz
+        r2 = rx * rx + ry * ry + rz * rz
+        accept = used & (inv_w == 0.0) & (r2 < max_corr2)
+        w = jnp.where(accept, (kth * kth) / ((kth + r2) * (kth + r2)), 0.0)
+
+        acc[0] += w
+        acc[1] += w * sx
+        acc[2] += w * sy
+        acc[3] += w * sz
+        acc[4] += w * sx * sx
+        acc[5] += w * sy * sy
+        acc[6] += w * sz * sz
+        acc[7] += w * sx * sy
+        acc[8] += w * sx * sz
+        acc[9] += w * sy * sz
+        acc[10] += w * rx
+        acc[11] += w * ry
+        acc[12] += w * rz
+        acc[13] += w * (sy * rz - sz * ry)
+        acc[14] += w * (sz * rx - sx * rz)
+        acc[15] += w * (sx * ry - sy * rx)
+        acc[16] += accept.astype(jnp.float32)
+        acc[17] += used.astype(jnp.float32)
+
+    # accumulate this tile's partials into the single (8, 128) output
+    # block (index_map pins every grid step to the same block; the TPU
+    # grid is sequential, so += is race-free — the standard Pallas
+    # reduction pattern). Row 0, lane j holds sum j.
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((8, 128), jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    total = jnp.zeros((8, 128), jnp.float32)
+    for j in range(N_SUMS):
+        s = jnp.sum(acc[j])
+        total = total + jnp.where((row == 0) & (lane == j), s, 0.0)
+    out_ref[:] += total
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_block", "interpret")
+)
+def fused_gn_iteration(
+    cx: jax.Array,  # (R, M) int16 candidate planes (see fused_semantic_nn)
+    cy: jax.Array,
+    cz: jax.Array,
+    cl: jax.Array,
+    offx: jax.Array,  # (1, M) f32 per-lane neighbor offsets, meters
+    offy: jax.Array,
+    offz: jax.Array,
+    q0: jax.Array,  # (R, 4*P) f32 packed [x y z label], WORLD at setup
+    origin: jax.Array,  # (R, 3) f32 row voxel origin, world
+    row_abs: jax.Array,  # (R, 3) int32 absolute row voxel coords
+    used: jax.Array,  # (R, P) int32 grid_used
+    T: jax.Array,  # (4, 4) f32 pose increment since setup
+    sem_th,
+    scale,
+    voxel_size,
+    max_corr,
+    kernel_th,
+    rows_per_block: int = 128,
+    interpret: bool = False,
+):
+    """One FULLY FUSED Gauss-Newton iteration over the frozen rows.
+
+    Returns (sums (18,) f32): the weighted normal-equation partials in
+    the order documented at N_SUMS. The caller assembles JTJ/JTr via
+    assemble_normal_equations."""
+    R, M = cx.shape
+    P4 = q0.shape[1]
+    P = P4 // 4
+    TR = min(rows_per_block, R)
+    assert R % TR == 0
+    smem = jnp.stack([
+        jnp.asarray(sem_th, jnp.float32),
+        jnp.asarray(scale, jnp.float32),
+        jnp.asarray(voxel_size, jnp.float32),
+        jnp.asarray(max_corr, jnp.float32),
+        jnp.asarray(kernel_th, jnp.float32),
+    ]).reshape(1, 5)
+    Tf = T.astype(jnp.float32).reshape(1, 16)
+
+    grid = (R // TR,)
+    cand = pl.BlockSpec((TR, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    off = pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, n_queries=P, m_valid=M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            cand, cand, cand, cand,
+            off, off, off,
+            pl.BlockSpec((TR, P4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(smem, Tf, cx, cy, cz, cl, offx, offy, offz, q0, origin, row_abs, used)
+    return out[0, :N_SUMS]
+
+
+def assemble_normal_equations(sums: jax.Array):
+    """(18,) partials -> (JTJ (6,6), JTr (6,), ncorr, nused)."""
+    w = sums[0]
+    wsx, wsy, wsz = sums[1], sums[2], sums[3]
+    sxx, syy, szz = sums[4], sums[5], sums[6]
+    sxy, sxz, syz = sums[7], sums[8], sums[9]
+    wr = sums[10:13]
+    wsr = sums[13:16]
+    z = jnp.zeros(())
+    # upper-right block -hat(sum w s)
+    ur = jnp.array([[z, wsz, -wsy], [-wsz, z, wsx], [wsy, -wsx, z]])
+    tr = sxx + syy + szz
+    lr = jnp.array([
+        [tr - sxx, -sxy, -sxz],
+        [-sxy, tr - syy, -syz],
+        [-sxz, -syz, tr - szz],
+    ])
+    ul = w * jnp.eye(3)
+    JTJ = jnp.block([[ul, ur], [ur.T, lr]])
+    JTr = jnp.concatenate([wr, wsr])
+    return JTJ, JTr, sums[16].astype(jnp.int32), sums[17].astype(jnp.int32)

@@ -162,25 +162,66 @@ def register_frame(
             map_state, tables, source0, valid, voxel_size, probe_depth,
             **fast_params,
         )
+        R, P, _ = setup.q0.shape
+        mode = cf._pallas_mode()
 
         def cond_f(carry):
             _, it, last_norm, _ = carry
             return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
 
-        def body_f(carry):
-            T_icp, it, _, _ = carry
-            src_g, tgt_g, acc_g = cf.corr_apply(
-                setup, T_icp, voxel_size, max_correspondence_distance, sem_th
+        if mode != "off" and R % 128 == 0:
+            # --- FULLY FUSED iteration: one Pallas kernel computes the
+            # transform, mover check, semantic NN, robust weights, and the
+            # normal-equation partials; XLA only assembles the 6x6 system,
+            # runs the unrolled Cholesky, and composes the increment
+            from sage_icp_tpu.ops import hashmap as hm_
+            from sage_icp_tpu.ops import pallas_nn as pnn
+
+            K = setup.cxp.shape[1] // 27
+            offs = (
+                jnp.repeat(hm_._NEIGHBOR_OFFSETS, K, axis=0).astype(
+                    frame.dtype
+                )
+                * voxel_size
             )
-            JTJ, JTr = build_normal_equations(
-                src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
-                acc_g.reshape(-1), kernel,
-            )
-            x = solve_increment(JTJ, JTr)
-            estimation = geo.se3_exp(x)
-            T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-            ncorr = jnp.sum(acc_g.astype(jnp.int32))
-            return T_icp, it + 1, jnp.linalg.norm(x), ncorr
+            scale = voxel_size / hm_.QSCALE
+            q0f = setup.q0.reshape(R, 4 * P)
+            row_abs = setup.row_rel + setup.center[None, :]
+            used_i = setup.grid_used.astype(jnp.int32)
+
+            def body_f(carry):
+                T_icp, it, _, _ = carry
+                sums = pnn.fused_gn_iteration(
+                    setup.cxp, setup.cyp, setup.czp, setup.clp,
+                    offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
+                    q0f, setup.row_origin_abs, row_abs, used_i, T_icp,
+                    sem_th, scale, voxel_size,
+                    max_correspondence_distance, kernel,
+                    interpret=(mode == "interpret"),
+                )
+                JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
+                x = solve_increment(JTJ, JTr)
+                estimation = geo.se3_exp(x)
+                T_icp = jnp.matmul(estimation, T_icp, precision="highest")
+                return T_icp, it + 1, jnp.linalg.norm(x), ncorr
+
+        else:
+
+            def body_f(carry):
+                T_icp, it, _, _ = carry
+                src_g, tgt_g, acc_g = cf.corr_apply(
+                    setup, T_icp, voxel_size, max_correspondence_distance,
+                    sem_th,
+                )
+                JTJ, JTr = build_normal_equations(
+                    src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
+                    acc_g.reshape(-1), kernel,
+                )
+                x = solve_increment(JTJ, JTr)
+                estimation = geo.se3_exp(x)
+                T_icp = jnp.matmul(estimation, T_icp, precision="highest")
+                ncorr = jnp.sum(acc_g.astype(jnp.int32))
+                return T_icp, it + 1, jnp.linalg.norm(x), ncorr
 
         init = (
             eye,

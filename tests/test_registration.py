@@ -138,3 +138,43 @@ def test_icp_empty_map_returns_initial_guess(rng):
     )
     np.testing.assert_allclose(np.asarray(result.pose), guess, atol=1e-5)
     assert int(result.iterations) == 1  # one zero-step then termination
+
+
+def test_fused_gn_iteration_matches_unfused(rng, monkeypatch):
+    """The fully fused GN-iteration kernel (pallas_nn.fused_gn_iteration)
+    must produce the same ICP solution as the corr_apply + XLA
+    normal-equations body."""
+    from sage_icp_tpu.ops import correspondence_fast as cf
+
+    world = _make_map_and_frame(rng)
+    state = hm.create(8192, 8)
+    state = hm.insert(
+        state, jnp.asarray(world), jnp.ones(len(world), dtype=bool),
+        1.0, 8, jnp.zeros(260, dtype=bool),
+    )
+    xi = np.array([0.12, -0.08, 0.04, 0.015, -0.01, 0.02], dtype=np.float32)
+    T_true = np.asarray(geo.se3_exp(jnp.asarray(xi)))
+    Tinv = np.asarray(geo.se3_inverse(jnp.asarray(T_true)))
+    frame = world.copy()
+    frame[:, :3] = frame[:, :3] @ Tinv[:3, :3].T + Tinv[:3, 3]
+    fast = dict(unique_voxel_rows=896, queries_per_voxel=8,
+                overflow_rows=128)  # R = 1024: fused path engages
+
+    def solve():
+        return reg.register_frame(
+            state, jnp.asarray(frame), jnp.ones(len(frame), dtype=bool),
+            jnp.eye(4, dtype=jnp.float32), 1.0,
+            max_correspondence_distance=1.5, kernel=0.5, sem_th=0.5,
+            max_iterations=60, fast_params=fast,
+        )
+
+    fused = solve()
+    monkeypatch.setattr(cf, "_pallas_mode", lambda: "off")
+    unfused = solve()
+    np.testing.assert_allclose(
+        np.asarray(fused.pose), np.asarray(unfused.pose), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(fused.pose), T_true, atol=5e-3)
+    assert abs(
+        int(fused.num_correspondences) - int(unfused.num_correspondences)
+    ) <= max(2, int(unfused.num_correspondences) * 0.01)
