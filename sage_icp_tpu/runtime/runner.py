@@ -126,49 +126,66 @@ def run_sequence(
     chunk > 0 enables offline-throughput mode: frames are registered in
     device-side lax.scan chunks (one upload + dispatch per chunk; only
     valid when deskew is off and keyframes are not requested — those need
-    per-frame host poses)."""
+    per-frame host poses).
+
+    Ctrl-C mid-sequence returns the PARTIAL result instead of losing the
+    run — the offline analog of the reference node's SIGINT trajectory
+    dump (ros/ros2/OdometryServer.cpp:301-349)."""
     odom.reinitialize()
     est, icp_t, tot_t = [], [], []
     if chunk > 0 and keyframes is None and timestamps_per_point is None:
         buf = []
         t0 = time.perf_counter()
         n_done = 0
-        for i, scan in enumerate(scans):
-            if max_frames is not None and i >= max_frames:
-                break
-            buf.append(scan)
-            if len(buf) == chunk:
-                odom.register_chunk(buf)
-                n_done += len(buf)
-                buf = []
-                if progress:
-                    print(f"[{seq_name}] {n_done} frames")
-        for scan in buf:  # ragged tail frame-by-frame
-            odom.register_frame(scan, block=False)
-            n_done += 1
+        try:
+            for i, scan in enumerate(scans):
+                if max_frames is not None and i >= max_frames:
+                    break
+                buf.append(scan)
+                if len(buf) == chunk:
+                    odom.register_chunk(buf)
+                    n_done += len(buf)
+                    buf = []
+                    if progress:
+                        print(f"[{seq_name}] {n_done} frames")
+            for scan in buf:  # ragged tail frame-by-frame
+                odom.register_frame(scan, block=False)
+                n_done += 1
+        except KeyboardInterrupt:
+            print(f"[{seq_name}] interrupted after ~{n_done} frames; "
+                  "dumping partial trajectory")
         est = list(odom.trajectory())
+        n_done = len(est)
         per = (time.perf_counter() - t0) / max(n_done, 1)
         icp_t = [per] * n_done
         tot_t = [per] * n_done
     else:
-        for i, scan in enumerate(scans):
-            if max_frames is not None and i >= max_frames:
-                break
-            t0 = time.perf_counter()
-            ts = (
-                timestamps_per_point[i]
-                if timestamps_per_point is not None
-                else None
-            )
-            pose = odom.register_frame(scan, ts)
-            tot = time.perf_counter() - t0
-            est.append(pose)
-            icp_t.append(tot)  # per-frame host-side total; device-internal
-            tot_t.append(tot)  # phases are fused into one jitted step
-            if keyframes is not None:
-                keyframes.update(scan, pose)
-            if progress and i % 50 == 0:
-                print(f"[{seq_name}] frame {i} t={pose[:3, 3].round(2)}")
+        try:
+            for i, scan in enumerate(scans):
+                if max_frames is not None and i >= max_frames:
+                    break
+                t0 = time.perf_counter()
+                ts = (
+                    timestamps_per_point[i]
+                    if timestamps_per_point is not None
+                    else None
+                )
+                pose = odom.register_frame(scan, ts)
+                tot = time.perf_counter() - t0
+                est.append(pose)
+                icp_t.append(tot)  # per-frame host total; device-internal
+                tot_t.append(tot)  # phases are fused into one jitted step
+                if keyframes is not None:
+                    keyframes.update(scan, pose)
+                if progress and i % 50 == 0:
+                    print(
+                        f"[{seq_name}] frame {i} t={pose[:3, 3].round(2)}"
+                    )
+        except KeyboardInterrupt:
+            print(f"[{seq_name}] interrupted after {len(est)} frames; "
+                  "dumping partial trajectory")
+    if not est:
+        est = [np.eye(4)]
     gt = None
     if gt_poses is not None:
         gt = np.asarray(gt_poses)[: len(est)]
