@@ -398,6 +398,7 @@ def odometry_step(
             config.insert_unique_capacity, config.frame_capacity
         ),
         tables=shared_tables,
+        basic_labels=config.basic_parts_labels,
     )
     new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
 

@@ -304,6 +304,9 @@ def insert(
     tables=None,
     policy_kernel: bool | None = None,  # None = auto (fused Pallas kernel
     #                                     when the row count tiles evenly)
+    basic_labels: tuple | None = None,  # static label set: enables the
+    #                                     compare-chain classification
+    #                                     (no per-point LUT gather)
 ) -> MapState:
     """AddPoints with the reference's per-block retention policy.
 
@@ -466,9 +469,13 @@ def insert(
         lab_s = jnp.clip(
             pts_sorted[:, 3].astype(jnp.int32), 0, num_labels - 1
         )
-        cls_s = jnp.where(
-            lab_s == 0, 0, jnp.where(basic_label_mask[lab_s], 1, 2)
-        )
+        if basic_labels is not None:
+            from sage_icp_tpu.ops.scan import label_in_set
+
+            is_basic_s = label_in_set(lab_s, basic_labels)
+        else:
+            is_basic_s = basic_label_mask[lab_s]  # per-point LUT gather
+        cls_s = jnp.where(lab_s == 0, 0, jnp.where(is_basic_s, 1, 2))
         pq_all = quantize_points(pts_sorted, vkeys, voxel_size)  # (N, 4)
         enc = (lab_s | (cls_s << pik.CLS_SHIFT)).astype(jnp.int16)
         pq_enc = jnp.concatenate([pq_all[:, :3], enc[:, None]], axis=-1)
