@@ -221,7 +221,11 @@ def corr_setup(
         (row_rel + tables.center[None, :]).astype(query.dtype) * voxel_size
     )
 
-    # one packed record per sorted query -> one wide-row gather for the grid
+    # one packed record per sorted query; a row's P queries are CONTIGUOUS
+    # in the sorted array, so P cheap rolls build a (N, 5P) window table
+    # and the whole grid comes from ONE wide-row gather (a (R, P) gather
+    # of 20 B records is the element-serialized class; 160 B window rows
+    # are the fast class — docs/PERF.md)
     rec = jnp.concatenate(
         [
             q_s,  # x y z label
@@ -229,12 +233,21 @@ def corr_setup(
         ],
         axis=1,
     )  # (N, 5)
+    rec_win = jnp.concatenate(
+        [jnp.roll(rec, -p_, axis=0) for p_ in range(P)], axis=1
+    )  # (N, 5P): row i = rec[i : i+P] flattened
     col_iota = jnp.arange(P, dtype=jnp.int32)[None, :]
-    spQ = hp[:, None] + col_iota  # (Q, P)
-    spO = jnp.where(col_iota == 0, op[:, None], n)  # (OV, P): col 0 only
-    sp = jnp.concatenate([spQ, spO], axis=0)  # (R, P)
-    oob = sp >= n
-    g = rec[jnp.minimum(sp, n - 1)]  # (R, P, 5)
+    starts = jnp.concatenate([hp, op])  # (R,)
+    # out-of-bounds slots (window wrap-around / overflow cols > 0) hold
+    # OTHER queries' records; every consumer is masked through grid_used
+    oob = jnp.concatenate(
+        [
+            hp[:, None] + col_iota >= n,  # (Q, P)
+            (col_iota > 0) | (op[:, None] >= n),  # (OV, P): col 0 only
+        ],
+        axis=0,
+    )
+    g = rec_win[jnp.minimum(starts, n - 1)].reshape(R, P, 5)
     row_uid = jnp.arange(R, dtype=jnp.int32)[:, None]  # uid = row for r < Q
     grid_used = jnp.where(
         row_uid < Q,

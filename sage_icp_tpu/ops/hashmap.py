@@ -480,16 +480,16 @@ def insert(
         enc = (lab_s | (cls_s << pik.CLS_SHIFT)).astype(jnp.int16)
         pq_enc = jnp.concatenate([pq_all[:, :3], enc[:, None]], axis=-1)
         # each row's incoming points are CONTIGUOUS in the voxel-sorted
-        # array; fetch ranks as Rmax small row gathers (a single 1-D
-        # wide-window gather looks ideal but XLA element-serializes it:
-        # 48 ms vs 0.6 ms for the row-gather form at KITTI scale)
-        inc = jnp.concatenate(
-            [
-                pq_enc[jnp.minimum(head_pos + r, n - 1)]
-                for r in range(Rmax)
-            ],
-            axis=1,
-        )  # (U, 4*Rmax) interleaved [x y z enc] per rank
+        # array: Rmax cheap rolls build a (N, 4*Rmax) window table and the
+        # whole incoming matrix comes from ONE wide-row gather (192 B
+        # rows, the fast class). A 1-D flat-window lax.gather looks
+        # equivalent but element-serializes (48 ms vs 0.6 ms, docs/PERF);
+        # Rmax separate 8 B row gathers are the slow-row class.
+        # Window wrap-around rows are gated by seglen in the kernel.
+        inc_win = jnp.concatenate(
+            [jnp.roll(pq_enc, -r, axis=0) for r in range(Rmax)], axis=1
+        )  # (N, 4*Rmax)
+        inc = inc_win[jnp.minimum(head_pos, n - 1)]  # (U, 4*Rmax)
         seglen_eff = jnp.where(
             has_slot, jnp.minimum(seg_len, Rmax), 0
         )[:, None]
