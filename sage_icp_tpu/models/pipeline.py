@@ -94,8 +94,10 @@ class SageConfig:
     probe_depth: int = 8
     max_incoming_per_voxel: int = 24
     # distinct voxels touched by one frame's insert (compaction bound);
-    # typical steady state is frame points / 2-4
-    insert_unique_capacity: int = 32_768
+    # typical steady state is frame points / 2-4. A multiple of 3*256
+    # lets the policy kernel pack 3 K=40 blocks per 128-lane row
+    # (ops/pallas_insert.py)
+    insert_unique_capacity: int = 33_024
     # TPU-optimized correspondence engine (ops/correspondence_fast.py):
     # packed-key probe windows + unique-query-voxel compaction + MXU
     # distance matrices. Falls back to the reference-shaped path when the
@@ -109,6 +111,17 @@ class SageConfig:
     # clears + row scatters) costs more than the probe saves. Kept
     # correct and tested for larger-map regimes where probing dominates.
     dense_grid: bool = False
+    # int16 host->device scan upload: xyz quantized at 2^-8 m (3.9 mm —
+    # below LiDAR noise, range +-128 m), labels/timestamps in int16 lanes.
+    # Halves the per-chunk upload bytes, which ride the host link
+    # serially with compute (docs/PERF.md). Default off: the f32 path is
+    # bit-identical to the reference's input; this is a deployment choice.
+    quantized_scan_upload: bool = False
+    # vertical extent (m) the mapped world may span when dense_grid is on:
+    # the 64-voxel z torus period must hold every LIVE voxel (the
+    # spherical cull alone allows 2*local_map_range in z, which would
+    # alias) — a declared deployment bound like the capacities above
+    dense_grid_z_extent: float = 40.0
     corr_unique_voxel_rows: int = 4096
     corr_queries_per_voxel: int = 8
     corr_overflow_rows: int = 1024
@@ -156,7 +169,7 @@ PRESETS = {
         frame_capacity=32_768,
         source_capacity=8_192,
         map_capacity=32_768,
-        insert_unique_capacity=8_192,
+        insert_unique_capacity=8_448,  # 3 * 256 * 11: packed policy rows
         corr_unique_voxel_rows=3072,
         corr_overflow_rows=512,
     ),
@@ -198,6 +211,23 @@ class StepAux(NamedTuple):
     num_correspondences: jax.Array
     num_source: jax.Array
     num_frame_ds: jax.Array
+    # --- overflow counters: a fixed-shape pipeline must make every silent
+    # drop observable (all i32, 0 = healthy) ---
+    corr_dropped: jax.Array  # ICP queries with no correspondence-grid seat
+    ds_truncated: jax.Array  # downsample outputs beyond capacity (both
+    #                          voxelize stages summed)
+    insert_unique_overflow: jax.Array  # voxels beyond insert_unique_capacity
+    insert_claim_failures: jax.Array  # probe-window-exhausted new voxels
+    insert_incoming_truncated: jax.Array  # points > max_incoming_per_voxel
+    dynfilter_overflow: jax.Array  # vehicle points beyond the filter cap
+
+    def overflow_total(self):
+        """Sum of every silent-drop channel — assert == 0 in benchmarks."""
+        return (
+            self.corr_dropped + self.ds_truncated
+            + self.insert_unique_overflow + self.insert_claim_failures
+            + self.insert_incoming_truncated + self.dynfilter_overflow
+        )
 
 
 def init_state(config: SageConfig) -> OdomState:
@@ -208,6 +238,19 @@ def init_state(config: SageConfig) -> OdomState:
             "dense_grid requires the culled map to span < 256 voxels; "
             "lower local_map_range, raise voxel_size_map, or set "
             "dense_grid=False"
+        )
+        # z torus period is only 64 voxels and the spherical cull alone
+        # does NOT bound z that tightly (51 m at 0.8 m voxels): two live
+        # voxels sharing a torus cell make the unique-indices grid scatter
+        # undefined (silent entry loss -> duplicate-slot claims). The user
+        # asserts the real vertical extent of the mapped world instead.
+        zspan = config.dense_grid_z_extent / config.voxel_size_map + 4
+        assert zspan < (1 << hm.GRID_Z_BITS), (
+            f"dense_grid z period (64 voxels = "
+            f"{64 * config.voxel_size_map:.0f} m) cannot hold "
+            f"dense_grid_z_extent={config.dense_grid_z_extent} m; raise "
+            "voxel_size_map, lower dense_grid_z_extent (and ensure the "
+            "terrain truly fits), or set dense_grid=False"
         )
 
     # distinct device buffers per leaf: the step donates the whole state,
@@ -263,18 +306,20 @@ def _adaptive_sigma(
     return sigma, ThresholdState(ts.model_deviation, sse, n)
 
 
-def voxelize(points, valid, config: SageConfig):
+def voxelize(points, valid, config: SageConfig, with_stats: bool = False):
     """Double downsample (reference pipeline/sageICP.cpp:97-101)."""
     lut = scan_ops.make_label_group_lut(list(map(list, config.voxel_labels)))
     sizes = jnp.asarray(config.voxel_size, dtype=points.dtype)
-    frame_ds, frame_valid = scan_ops.voxel_downsample(
+    frame_ds, frame_valid, trunc1 = scan_ops.voxel_downsample(
         points, valid, lut, sizes, 0.5, config.frame_capacity,
-        voxel_labels=config.voxel_labels,
+        voxel_labels=config.voxel_labels, with_stats=True,
     )
-    source, source_valid = scan_ops.voxel_downsample(
+    source, source_valid, trunc2 = scan_ops.voxel_downsample(
         frame_ds, frame_valid, lut, sizes, 1.5, config.source_capacity,
-        voxel_labels=config.voxel_labels,
+        voxel_labels=config.voxel_labels, with_stats=True,
     )
+    if with_stats:
+        return (source, source_valid), (frame_ds, frame_valid), trunc1 + trunc2
     return (source, source_valid), (frame_ds, frame_valid)
 
 
@@ -306,16 +351,17 @@ def odometry_step(
     )
     # NOTE: dynamic vehicle filter (reference Preprocessing.cpp:95-172) is
     # applied here when enabled — see sage_icp_tpu.ops.dynamic_filter.
+    dyn_overflow = jnp.asarray(0, jnp.int32)
     if config.dynamic_vehicle_filter:
         from sage_icp_tpu.ops import dynamic_filter as dyn
 
-        cropped, crop_valid = dyn.filter_dynamic_vehicles(
-            cropped, crop_valid, config
+        cropped, crop_valid, dyn_overflow = dyn.filter_dynamic_vehicles(
+            cropped, crop_valid, config, with_stats=True
         )
 
     # --- voxelize ------------------------------------------------------------
-    (source, source_valid), (frame_ds, frame_valid) = voxelize(
-        cropped, crop_valid, config
+    (source, source_valid), (frame_ds, frame_valid), ds_trunc = voxelize(
+        cropped, crop_valid, config, with_stats=True
     )
 
     # --- adaptive threshold --------------------------------------------------
@@ -385,7 +431,7 @@ def odometry_step(
     thr = ThresholdState(model_deviation, thr.sse, thr.num_samples)
 
     world_frame = geo.transform_points(new_pose, frame_ds)
-    new_map = hm.insert(
+    new_map, ins_stats = hm.insert(
         state.map,
         world_frame,
         frame_valid,
@@ -399,6 +445,7 @@ def odometry_step(
         ),
         tables=shared_tables,
         basic_labels=config.basic_parts_labels,
+        with_stats=True,
     )
     new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
 
@@ -416,6 +463,12 @@ def odometry_step(
         num_correspondences=icp.num_correspondences,
         num_source=jnp.sum(source_valid.astype(jnp.int32)),
         num_frame_ds=jnp.sum(frame_valid.astype(jnp.int32)),
+        corr_dropped=icp.dropped_queries,
+        ds_truncated=ds_trunc,
+        insert_unique_overflow=ins_stats.unique_overflow,
+        insert_claim_failures=ins_stats.claim_failures,
+        insert_incoming_truncated=ins_stats.incoming_truncated,
+        dynfilter_overflow=dyn_overflow,
     )
     return new_state, new_pose, aux
 
@@ -437,42 +490,92 @@ def make_step(config: SageConfig, jit: bool = True, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+# int16 upload quantization: xyz lanes in units of 2^-8 m; the invalid-row
+# sentinel is 32767 in lane 0 (no real coordinate reaches +127.996 m after
+# the range crop). Timestamps scale by 2^15 - 1.
+QSCAN_SCALE = 1.0 / 256.0
+QSCAN_INVALID = 32767
+QTS_SCALE = 32767.0
+
+
+def _split_packed(pts):
+    """(cap, 4|5) packed buffer -> (points (cap,4), valid, timestamps).
+    Lane 4, when present, carries per-point timestamps (deskew mode); the
+    validity mask is derived from the pad sentinel either way. int16
+    buffers are the quantized-upload format (see quantized_scan_upload)."""
+    if pts.dtype == jnp.int16:
+        valid = pts[:, 0] != QSCAN_INVALID
+        xyz = pts[:, :3].astype(jnp.float32) * QSCAN_SCALE
+        lab = pts[:, 3].astype(jnp.float32)
+        out = jnp.where(
+            valid[:, None],
+            jnp.concatenate([xyz, lab[:, None]], axis=-1),
+            jnp.float32(scan_ops.INVALID_COORD),
+        )
+        if pts.shape[1] == 5:
+            ts = jnp.where(
+                valid, pts[:, 4].astype(jnp.float32) / QTS_SCALE, 0.0
+            )
+        else:
+            ts = jnp.zeros((pts.shape[0],), jnp.float32)
+        return out, valid, ts
+    valid = pts[:, 0] < 1.0e6  # INVALID_COORD sentinel
+    if pts.shape[1] == 5:
+        return pts[:, :4], valid, jnp.where(valid, pts[:, 4], 0.0)
+    return pts, valid, jnp.zeros((pts.shape[0],), pts.dtype)
+
+
+def _quantize_scan_host(rows: np.ndarray, out: np.ndarray) -> None:
+    """Host-side int16 packing of (n, 4|5) float rows into `out[:n]`."""
+    n = len(rows)
+    out[:n, :3] = np.clip(
+        np.round(rows[:, :3] / QSCAN_SCALE), -32700, 32700
+    ).astype(np.int16)
+    out[:n, 3] = rows[:, 3].astype(np.int16)
+    if out.shape[1] == 5 and rows.shape[1] >= 5:
+        out[:n, 4] = np.clip(
+            np.round(rows[:, 4] * QTS_SCALE), 0, 32767
+        ).astype(np.int16)
+
+
 def make_step_packed(config: SageConfig):
     """Single-upload step: (state, points) -> (state', pose, aux).
 
     The validity mask is derived on device from the pad sentinel
     (pad_scan fills INVALID_COORD rows), so the host uploads ONE array
     per frame instead of three — the remote-tunnel round trip per upload
-    (~15-45 ms) dominates the per-frame cost otherwise. Only valid when
-    deskew is off (timestamps all zero)."""
-    assert not config.deskew, "packed step has no timestamp input"
+    (~15-45 ms) dominates the per-frame cost otherwise. With deskew on,
+    the packed buffer carries a 5th timestamp lane (still one upload)."""
 
     def fn(state, points):
-        valid = points[:, 0] < 1.0e6  # INVALID_COORD sentinel
-        ts = jnp.zeros((points.shape[0],), points.dtype)
-        return odometry_step(state, points, valid, ts, config=config)
+        pts, valid, ts = _split_packed(points)
+        return odometry_step(state, pts, valid, ts, config=config)
 
     return jax.jit(fn, donate_argnums=(0,))
 
 
 def make_chunk_step(config: SageConfig, chunk: int):
-    """Offline-throughput step: (state, scans (W, cap, 4)) ->
-    (state', poses (W, 4, 4), aux-of-last). One upload and one dispatch
-    drive W sequential frames via lax.scan — the per-frame remote-dispatch
-    overhead (~10-30 ms through the tunnel) is amortized W-fold. Frame
-    semantics are identical to W single steps (the scan carries the
-    state). Deskew off only (packed input, like make_step_packed)."""
-    assert not config.deskew, "chunked step has no timestamp input"
+    """Offline-throughput step: (state, scans (W, cap, 4|5)) ->
+    (state', poses (W, 4, 4), (iterations (W,), aux-of-last)). One upload
+    and one dispatch drive W sequential frames via lax.scan — the
+    per-frame remote-dispatch overhead (~10-30 ms through the tunnel) is
+    amortized W-fold. Frame semantics are identical to W single steps
+    (the scan carries the state). Deskew rides the packed 5th lane.
+    Per-frame ICP iteration counts are returned for the whole chunk so
+    time.txt can carry a real per-frame ICP estimate (the rest of aux is
+    last-frame only)."""
 
     def fn(state, scans):
         def body(st, pts):
-            valid = pts[:, 0] < 1.0e6
-            ts = jnp.zeros((pts.shape[0],), pts.dtype)
-            st2, pose, aux = odometry_step(st, pts, valid, ts, config=config)
+            p, valid, ts = _split_packed(pts)
+            st2, pose, aux = odometry_step(st, p, valid, ts, config=config)
             return st2, (pose, aux)
 
         state, (poses, auxs) = jax.lax.scan(body, state, scans)
-        return state, poses, jax.tree.map(lambda a: a[-1], auxs)
+        return (
+            state, poses,
+            (auxs.icp_iterations, jax.tree.map(lambda a: a[-1], auxs)),
+        )
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -486,15 +589,16 @@ class SageICP:
         if isinstance(config, str):
             config = PRESETS[config]
         self.config = config
-        # one-upload step when deskew is off: the remote-tunnel RPC per
-        # host->device transfer dominates per-frame latency otherwise
-        self._packed = not config.deskew
-        self._step = (
-            make_step_packed(config) if self._packed else make_step(config)
-        )
+        # one-upload step: the remote-tunnel RPC per host->device transfer
+        # dominates per-frame latency otherwise. Deskew rides a packed
+        # 5th timestamp lane, so the packed path covers every config.
+        self._packed = True
+        self._step = make_step_packed(config)
         self.state = init_state(config)
         self.poses: list = []  # np or device arrays (see block=)
         self.timings: list[float] = []
+        self.icp_iters: list = []  # per-frame ICP iteration counts
+        #   (device arrays in chunked mode; fetched with the trajectory)
 
     def register_frame(
         self,
@@ -513,28 +617,59 @@ class SageICP:
         cfg = self.config
         cap = cfg.scan_capacity
         n = min(len(points), cap)
-        try:
-            from sage_icp_tpu import _native
+        lanes = 5 if cfg.deskew else 4
+        quant = cfg.quantized_scan_upload and self._packed
+        if lanes == 4 and not quant:
+            try:
+                from sage_icp_tpu import _native
 
-            buf, val = _native.pad_scan(
-                np.ascontiguousarray(points, dtype=np.float32), cap
-            )
-        except ImportError:
-            buf = np.full((cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
-            buf[:n] = points[:n]
-            val = np.zeros((cap,), dtype=bool)
-            val[:n] = True
+                buf, val = _native.pad_scan(
+                    np.ascontiguousarray(points, dtype=np.float32), cap
+                )
+            except ImportError:
+                buf = np.full(
+                    (cap, 4), scan_ops.INVALID_COORD, dtype=np.float32
+                )
+                buf[:n] = points[:n]
+        else:
+            rows = np.asarray(points[:n, :4], dtype=np.float32)
+            if lanes == 5:
+                if timestamps is not None:
+                    ts_rows = np.asarray(timestamps[:n], np.float32)
+                else:
+                    # spinning-LiDAR sweep phase from azimuth (the standard
+                    # fallback when the sensor provides no time field)
+                    from sage_icp_tpu.datasets.kitti import azimuth_timestamps
+
+                    ts_rows = azimuth_timestamps(rows[:, :3]).astype(
+                        np.float32
+                    )
+                rows = np.concatenate([rows, ts_rows[:, None]], axis=1)
+            if quant:
+                buf = np.full((cap, lanes), QSCAN_INVALID, dtype=np.int16)
+                _quantize_scan_host(rows, buf)
+            else:
+                buf = np.full(
+                    (cap, lanes), scan_ops.INVALID_COORD, dtype=np.float32
+                )
+                buf[:n] = rows
         t0 = time.perf_counter()
         if self._packed:
             self.state, pose, aux = self._step(self.state, jnp.asarray(buf))
         else:
+            # unpacked (state, points, valid, ts) signature — the sharded
+            # step (parallel.sharding) declares per-argument shardings
+            val = np.zeros((cap,), dtype=bool)
+            val[:n] = True
             ts = np.zeros((cap,), dtype=np.float32)
-            if timestamps is not None:
-                ts[:n] = timestamps[:n]
+            if lanes == 5:
+                ts = buf[:, 4].copy()
             self.state, pose, aux = self._step(
-                self.state, jnp.asarray(buf), jnp.asarray(val), jnp.asarray(ts)
+                self.state, jnp.asarray(buf[:, :4]), jnp.asarray(val),
+                jnp.asarray(ts),
             )
         self._last_aux_dev = aux
+        self.icp_iters.append(aux.icp_iterations)
         if block:
             pose = np.asarray(pose)
         self.timings.append(time.perf_counter() - t0)
@@ -568,48 +703,94 @@ class SageICP:
                 out.append(np.asarray(p).reshape(4, 4))
         return np.stack(out)
 
-    def pad_chunk(self, scans: list[np.ndarray]) -> np.ndarray:
-        """(W, scan_capacity, 4) padded host buffer for register_chunk."""
+    def pad_chunk(
+        self, scans: list[np.ndarray], timestamps: list | None = None
+    ) -> np.ndarray:
+        """(W, scan_capacity, 4|5) padded host buffer for register_chunk.
+        With deskew on, lane 4 carries per-point timestamps (explicit or
+        the azimuth-phase fallback)."""
         cap = self.config.scan_capacity
         W = len(scans)
-        buf = np.full((W, cap, 4), scan_ops.INVALID_COORD, dtype=np.float32)
-        try:
-            from sage_icp_tpu import _native
+        lanes = 5 if self.config.deskew else 4
+        quant = self.config.quantized_scan_upload
+        if lanes == 4 and not quant:
+            buf = np.full(
+                (W, cap, 4), scan_ops.INVALID_COORD, dtype=np.float32
+            )
+            try:
+                from sage_icp_tpu import _native
 
-            for i, s in enumerate(scans):
-                buf[i], _ = _native.pad_scan(
-                    np.ascontiguousarray(s, dtype=np.float32), cap
-                )
-        except ImportError:
+                for i, s in enumerate(scans):
+                    buf[i], _ = _native.pad_scan(
+                        np.ascontiguousarray(s, dtype=np.float32), cap
+                    )
+                return buf
+            except ImportError:
+                pass
             for i, s in enumerate(scans):
                 n = min(len(s), cap)
-                buf[i, :n] = s[:n]
+                buf[i, :n] = s[:n, :4]
+            return buf
+        buf = (
+            np.full((W, cap, lanes), QSCAN_INVALID, dtype=np.int16)
+            if quant
+            else np.full(
+                (W, cap, lanes), scan_ops.INVALID_COORD, dtype=np.float32
+            )
+        )
+        for i, s in enumerate(scans):
+            n = min(len(s), cap)
+            rows = np.asarray(s[:n, :4], dtype=np.float32)
+            if lanes == 5:
+                if timestamps is not None and timestamps[i] is not None:
+                    ts_rows = np.asarray(timestamps[i][:n], np.float32)
+                else:
+                    from sage_icp_tpu.datasets.kitti import azimuth_timestamps
+
+                    ts_rows = azimuth_timestamps(rows[:, :3]).astype(
+                        np.float32
+                    )
+                rows = np.concatenate([rows, ts_rows[:, None]], axis=1)
+            if quant:
+                _quantize_scan_host(rows, buf[i])
+            else:
+                buf[i, :n] = rows
         return buf
 
-    def register_chunk(self, scans) -> jax.Array:
+    def register_chunk(self, scans, timestamps=None) -> jax.Array:
         """Offline mode: register a chunk of frames with ONE device
         dispatch (lax.scan over the chunk). Appends device poses to the
         trajectory log and returns them (W, 4, 4) without blocking.
 
-        scans: a list of (n, 4) arrays, a padded (W, cap, 4) host buffer
+        scans: a list of (n, 4) arrays, a padded (W, cap, 4|5) host buffer
         from pad_chunk, or a pre-staged device array (jax.device_put of a
         padded buffer) — pre-staging lets the host overlap the next
         chunk's upload with the current chunk's compute."""
-        assert self._packed, "chunked mode requires deskew=False"
         if isinstance(scans, list):
-            scans = self.pad_chunk(scans)
+            scans = self.pad_chunk(scans, timestamps)
         dev = jnp.asarray(scans)  # no-op for already-staged device arrays
         W = dev.shape[0]
         if not hasattr(self, "_chunk_steps"):
             self._chunk_steps = {}
         if W not in self._chunk_steps:
             self._chunk_steps[W] = make_chunk_step(self.config, W)
-        self.state, poses, aux = self._chunk_steps[W](self.state, dev)
+        self.state, poses, (iters, aux) = self._chunk_steps[W](
+            self.state, dev
+        )
         self._last_aux_dev = aux
         # keep the whole (W, 4, 4) device array: per-frame slicing would
         # dispatch W ops, and trajectory() flattens chunks on device anyway
         self.poses.append(poses)
+        self.icp_iters.append(iters)
         return poses
+
+    def iteration_counts(self) -> np.ndarray:
+        """(N,) per-frame ICP iteration counts; synchronizes like
+        trajectory() (chunked entries fetch in one transfer)."""
+        if not self.icp_iters:
+            return np.zeros((0,), np.int32)
+        flat = [jnp.asarray(x).reshape(-1) for x in self.icp_iters]
+        return np.asarray(jnp.concatenate(flat))
 
     def local_map(self) -> np.ndarray:
         pts, mask = hm.pointcloud(self.state.map, self.config.voxel_size_map)
@@ -620,3 +801,4 @@ class SageICP:
         self.state = init_state(self.config)
         self.poses = []
         self.timings = []
+        self.icp_iters = []

@@ -147,6 +147,10 @@ class CorrSetup(NamedTuple):
     order: jax.Array  # (N,) sort permutation (for unsorting results)
     row: jax.Array  # (N,) sorted query -> row (R = dropped)
     col: jax.Array  # (N,) sorted query -> column
+    n_dropped: jax.Array  # i32 scalar: valid queries with NO grid seat
+    #   (row/overflow-row capacity exhausted, or outside the packed range)
+    #   — the fixed-shape engine's only silent-drop channel, surfaced for
+    #   the per-frame overflow counters (StepAux)
 
 
 def corr_setup(
@@ -290,6 +294,10 @@ def corr_setup(
     # pushes invalid lanes to +inf weighted metric (loses every argmin) and
     # to a huge true distance (fails the acceptance gate on empty rows)
     q0 = g[..., :4]  # (R, P, 4) world coords + label at setup
+    n_dropped = (
+        jnp.sum(valid.astype(jnp.int32))
+        - jnp.sum((val_s & (row < R)).astype(jnp.int32))
+    )
     return CorrSetup(
         cxp=cx_q,
         cyp=cy_q,
@@ -303,6 +311,7 @@ def corr_setup(
         order=order,
         row=row,
         col=col,
+        n_dropped=n_dropped,
     )
 
 

@@ -75,9 +75,10 @@ def _compact(points, mask, cap):
     return out, out_valid, rank
 
 
-def filter_dynamic_vehicles(points, valid, config):
+def filter_dynamic_vehicles(points, valid, config, with_stats: bool = False):
     """points: (N, 4) cropped scan; valid: (N,). Returns (points, valid')
-    with moving-vehicle points masked out.
+    with moving-vehicle points masked out (+ the vehicle-point overflow
+    count when with_stats).
 
     The vehicle/landmark subsets are COMPACTED first: every expensive
     structure (cluster grid, landmark hash, 27-voxel gathers) runs on a
@@ -180,10 +181,16 @@ def filter_dynamic_vehicles(points, valid, config):
     keep_compact = has_slot & static_cluster[pcomp]  # (Nv,)
 
     # map the keep decision back to the full scan via each vehicle point's
-    # compaction rank; vehicles beyond _VEH_PTS_CAP are dropped (counted
-    # against the same conservative default as clusterless points)
+    # compaction rank. Vehicle points beyond _VEH_PTS_CAP were never
+    # clustered — they PASS THROUGH (the reference clusters every vehicle
+    # point and mostly keeps parked ones; silently deleting the overflow
+    # removed valid static points in dense traffic) and the overflow is
+    # counted in the returned stats so capacity pressure is visible.
     in_cap = is_vehicle & (vrank < _VEH_PTS_CAP)
     keep_vehicle = in_cap & keep_compact[jnp.clip(vrank, 0, _VEH_PTS_CAP - 1)]
-    new_valid = valid & (~is_vehicle | keep_vehicle)
+    new_valid = valid & (~is_vehicle | keep_vehicle | ~in_cap)
     pts = jnp.where(new_valid[:, None], points, INVALID_COORD)
+    overflow = jnp.sum((is_vehicle & ~in_cap).astype(jnp.int32))
+    if with_stats:
+        return pts, new_valid, overflow
     return pts, new_valid

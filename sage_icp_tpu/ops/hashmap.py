@@ -33,7 +33,10 @@ Parallel insertion resolves claim races GPU-hash-map style: each round,
 every unresolved new voxel scatter-mins its id into a claim array at its
 current probe slot, gathers back to see who won, and losers advance to the
 next probe offset. All shapes static; overflowing voxels/points are
-dropped (counted in stats).
+dropped — and COUNTED: insert(with_stats=True) returns an InsertStats
+with the unique-voxel overflow, claim-loop failures, and per-voxel
+incoming truncation, surfaced per frame through StepAux so a fixed-shape
+deployment can observe (and alert on) capacity pressure.
 
 Reproduced reference semantics:
   * spatial hash (x*73856093 ^ y*19349663 ^ z*83492791) & (C-1)
@@ -69,6 +72,22 @@ from sage_icp_tpu.ops.scan import INVALID_COORD, trunc_div
 # Probe depth for bounded linear probing. With capacity >= 2x expected live
 # voxels, the probability of a probe-window overflow is negligible.
 DEFAULT_PROBE_DEPTH = 16
+
+
+class InsertStats(NamedTuple):
+    """Per-frame overflow counters (all i32 scalars). A fixed-shape map
+    drops work silently when undersized — these make every drop visible:
+      * unique_overflow: distinct incoming voxels beyond
+        insert_unique_capacity (their points are not inserted)
+      * claim_failures: new voxels whose probe window was exhausted
+        (probe_depth consecutive slots all taken — table too full)
+      * incoming_truncated: points beyond max_incoming_per_voxel within
+        one voxel's segment this frame (policy never saw them)
+    """
+
+    unique_overflow: jax.Array
+    claim_failures: jax.Array
+    incoming_truncated: jax.Array
 
 
 class MapState(NamedTuple):
@@ -307,6 +326,7 @@ def insert(
     basic_labels: tuple | None = None,  # static label set: enables the
     #                                     compare-chain classification
     #                                     (no per-point LUT gather)
+    with_stats: bool = False,  # also return InsertStats overflow counters
 ) -> MapState:
     """AddPoints with the reference's per-block retention policy.
 
@@ -441,6 +461,17 @@ def insert(
     rounds = jnp.minimum(
         jnp.max(jnp.where(u_live, seg_len, 0)), max_incoming_per_voxel
     )
+    stats = InsertStats(
+        unique_overflow=jnp.maximum(n_unique - U, 0).astype(jnp.int32),
+        claim_failures=jnp.sum((need_claim & (slot_u < 0)).astype(jnp.int32)),
+        incoming_truncated=jnp.sum(
+            jnp.where(
+                u_live,
+                jnp.maximum(seg_len - max_incoming_per_voxel, 0),
+                0,
+            )
+        ).astype(jnp.int32),
+    ) if with_stats else None
 
     # --- retention policy on a COMPACT per-frame buffer ---------------------
     # The policy rounds mutate only the <= U touched voxels; running them
@@ -463,6 +494,10 @@ def insert(
     # overhead ~1 ms dominated the XLA path; docs/PERF.md) -----------------
     Rmax = max_incoming_per_voxel
     use_kernel = (U % 128 == 0) if policy_kernel is None else policy_kernel
+    # apply_policy tiles rows at rows_per_block and asserts divisibility:
+    # match its tiling here (U = 384 would pass a %128 gate but fail a
+    # fixed 256-row tiling at trace time)
+    policy_rows = 256 if U % 256 == 0 else 128
     if use_kernel:
         from sage_icp_tpu.ops import pallas_insert as pik
 
@@ -497,14 +532,16 @@ def insert(
         bx, by, bz, bl, cnt2 = pik.apply_policy(
             compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
             compact[:, 3, :], ccounts[:, None], seglen_eff, inc, rounds,
-            n_rounds=Rmax, basic=basic_points, interpret=interpret,
+            n_rounds=Rmax, basic=basic_points, rows_per_block=policy_rows,
+            interpret=interpret,
         )
         compact = jnp.stack([bx, by, bz, bl], axis=1)
         ccounts = cnt2[:, 0]
-        return _insert_writeback(
+        out = _insert_writeback(
             state, points2, compact, ccounts, has_slot, slot_u, ukeys,
             new_keys, new_counts, grid, voxel_size, cap, kmax, U,
         )
+        return (out, stats) if with_stats else out
 
     blk_labels0 = compact[:, 3, :].astype(jnp.int32)
     zero_live0 = (blk_labels0 == 0) & (kidx[None, :] < ccounts[:, None])
@@ -551,10 +588,11 @@ def insert(
         policy_body,
         (jnp.asarray(0, jnp.int32), ccounts, compact, zero_live0),
     )
-    return _insert_writeback(
+    out = _insert_writeback(
         state, points2, compact, ccounts, has_slot, slot_u, ukeys,
         new_keys, new_counts, grid, voxel_size, cap, kmax, U,
     )
+    return (out, stats) if with_stats else out
 
 
 def _insert_writeback(
@@ -601,12 +639,40 @@ def _insert_writeback(
 
 def remove_far(state: MapState, origin: jax.Array, max_distance) -> MapState:
     """Erase blocks whose FIRST point is > max_distance from origin
-    (reference VoxelHashMap.cpp:176-184)."""
+    (reference VoxelHashMap.cpp:176-184).
+
+    Culled blocks are ERASED, not just emptied: keys go to EMPTY_KEY and
+    first_pts to the sentinel, so no probe (hash window, packed window,
+    lookup) can ever match them again — the fast correspondence path reads
+    per-lane validity from the sanitized label plane, which stays stale in
+    storage until the slot is reclaimed, and a matchable stale key would
+    silently resurrect deleted map data on revisits (the reference erases
+    the robin_map entry outright). The dense grid's cell for each killed
+    voxel is cleared likewise."""
     first = state.first_pts
     d2 = jnp.sum((first - origin[None, :]) ** 2, axis=-1)
     live = state.counts > 0
     kill = live & (d2 > max_distance * max_distance)
-    return state._replace(counts=jnp.where(kill, 0, state.counts))
+    killn = kill[:, None]
+    grid = state.grid
+    if grid is not None:
+        cap = state.capacity
+        t = grid_index(state.keys)
+        # only clear cells still owned by the killed slot (a later claimant
+        # may have overwritten the cell for its own voxel)
+        still = grid[t, 0] == jnp.arange(cap, dtype=jnp.int32)
+        grid = grid.at[jnp.where(kill & still, t, GRID_SIZE), 0].set(
+            -1, mode="drop"
+        )
+    return state._replace(
+        counts=jnp.where(kill, 0, state.counts),
+        keys=jnp.where(killn, EMPTY_KEY, state.keys),
+        first_pts=jnp.where(
+            killn, jnp.asarray(INVALID_COORD, state.first_pts.dtype),
+            state.first_pts,
+        ),
+        grid=grid,
+    )
 
 
 def clear(state: MapState) -> MapState:

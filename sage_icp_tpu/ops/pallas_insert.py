@@ -106,6 +106,104 @@ def _kernel(smem_ref, bx_ref, by_ref, bz_ref, bl_ref, cnt_ref, seg_ref,
     jax.lax.fori_loop(0, max_rounds, _round, 0)
 
 
+def _kernel_packed(smem_ref, bx_ref, by_ref, bz_ref, bl_ref, cnt_ref,
+                   seg_ref, inc_ref, ox_ref, oy_ref, oz_ref, ol_ref,
+                   ocnt_ref, zl_ref, *, n_rounds: int, basic: int, kmax: int,
+                   group: int):
+    """Lane-packed variant: each row carries `group` voxel blocks side by
+    side (group * kmax lanes), so a K=40 block no longer wastes 2/3 of
+    the 128-lane VPU vector (docs/PERF.md round-1 lever #3). Per-voxel
+    scalars (count, seglen, incoming point) live in (TU, group) columns
+    and broadcast to their lane segment with `group` masked selects."""
+    ox_ref[:] = bx_ref[:]
+    oy_ref[:] = by_ref[:]
+    oz_ref[:] = bz_ref[:]
+    ol_ref[:] = bl_ref[:]
+    ocnt_ref[:] = cnt_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, bl_ref.shape, 1)  # (TU, GK)
+    lane_seg = lane // kmax  # which packed voxel this lane belongs to
+    lane_k = lane - lane_seg * kmax
+
+    def seg_cols(col_ref_vals):  # (TU, G) -> (TU, GK) per-lane broadcast
+        out = jnp.zeros(lane.shape, jnp.int32)
+        for s in range(group):
+            out = jnp.where(lane_seg == s, col_ref_vals[:, s:s + 1], out)
+        return out
+
+    cnt_lane0 = seg_cols(cnt_ref[:])
+    zl_ref[:] = (
+        (bl_ref[:].astype(jnp.int32) == 0) & (lane_k < cnt_lane0)
+    ).astype(jnp.int32)
+    seg_lane = seg_cols(seg_ref[:])
+    max_rounds = smem_ref[0, 0]
+    inc32 = inc_ref[:].astype(jnp.int32)  # (TU, G*4*R_max)
+    inc_iota = jax.lax.broadcasted_iota(jnp.int32, inc32.shape, 1)
+    BIGI = jnp.int32(2**30)
+
+    def _round(r, carry):
+        def pick(s, c):  # voxel s's component c at rank r -> (TU, 1)
+            col = (s * n_rounds + r) * 4 + c
+            return jnp.sum(
+                jnp.where(inc_iota == col, inc32, 0), axis=1
+            )[:, None]
+
+        def pick_lane(c):  # -> (TU, GK) per-lane incoming component
+            out = jnp.zeros(lane.shape, jnp.int32)
+            for s in range(group):
+                out = jnp.where(lane_seg == s, pick(s, c), out)
+            return out
+
+        cnt = ocnt_ref[:]  # (TU, G)
+        cnt_lane = seg_cols(cnt)
+        act = r < seg_lane  # (TU, GK)
+        ix, iy, iz = pick_lane(0), pick_lane(1), pick_lane(2)
+        enc = pick_lane(3)
+        cls = enc >> CLS_SHIFT
+        lab = enc & LABEL_MASK
+        zl = zl_ref[:] != 0
+        # first zero slot PER SEGMENT via min of lane_k
+        zmin = jnp.where(zl, lane_k, BIGI)  # (TU, GK)
+        zidx_cols = []
+        for s in range(group):
+            zidx_cols.append(
+                jnp.min(jnp.where(lane_seg == s, zmin, BIGI), axis=1)[:, None]
+            )
+        zidx_lane = seg_cols(jnp.concatenate(zidx_cols, axis=1))
+        has_zero = zidx_lane < BIGI
+        first_zero = jnp.where(has_zero, zidx_lane, 0)
+
+        append_basic = cnt_lane < basic
+        overwrite_b = ~append_basic & (cls == 1)
+        append_crit = ~append_basic & (cls == 2) & (cnt_lane < kmax)
+        overwrite_c = ~append_basic & (cls == 2) & (cnt_lane >= kmax)
+
+        do_append = act & (append_basic | append_crit)
+        do_over = act & (overwrite_b | overwrite_c) & has_zero
+        target = jnp.where(do_append, cnt_lane, first_zero)
+        write = do_append | do_over
+        sel = write & (lane_k == target)
+
+        ox_ref[:] = jnp.where(sel, ix.astype(jnp.int16), ox_ref[:])
+        oy_ref[:] = jnp.where(sel, iy.astype(jnp.int16), oy_ref[:])
+        oz_ref[:] = jnp.where(sel, iz.astype(jnp.int16), oz_ref[:])
+        ol_ref[:] = jnp.where(sel, lab.astype(jnp.int16), ol_ref[:])
+        zl_ref[:] = jnp.where(sel, (lab == 0).astype(jnp.int32), zl_ref[:])
+        # per-segment append bump: did THIS segment append this round?
+        appended = do_append & (lane_k == target)  # one lane per segment
+        bumps = []
+        for s in range(group):
+            bumps.append(
+                jnp.sum(
+                    jnp.where(lane_seg == s, appended.astype(jnp.int32), 0),
+                    axis=1,
+                )[:, None]
+            )
+        ocnt_ref[:] = cnt + jnp.concatenate(bumps, axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, max_rounds, _round, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_rounds", "basic", "rows_per_block", "interpret"),
@@ -125,8 +223,62 @@ def apply_policy(
     interpret: bool = False,
 ):
     """Returns (bx', by', bz', bl', counts') after applying the retention
-    policy for every row's incoming segment, in order."""
+    policy for every row's incoming segment, in order.
+
+    When the row count allows, `group` voxel blocks are PACKED side by
+    side per kernel row (group = floor(128 / K)): a K=40 block alone
+    leaves 2/3 of the 128-lane vector idle, the dominant waste in this
+    kernel (docs/PERF.md round-1 lever #3)."""
     U, K = bx.shape
+    group = max(1, 128 // K) if K < 128 else 1
+    while group > 1 and (
+        U % group != 0 or (U // group) % min(rows_per_block, U // group) != 0
+    ):
+        group -= 1
+    if group > 1:
+        G = group
+        Up = U // G
+        TU = min(rows_per_block, Up)
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_packed, n_rounds=n_rounds, basic=basic, kmax=K,
+                group=G,
+            ),
+            grid=(Up // TU,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                *[pl.BlockSpec((TU, G * K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+                *[pl.BlockSpec((TU, G), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+                pl.BlockSpec((TU, G * 4 * n_rounds), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                *[pl.BlockSpec((TU, G * K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+                pl.BlockSpec((TU, G), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                *[jax.ShapeDtypeStruct((Up, G * K), jnp.int16)] * 4,
+                jax.ShapeDtypeStruct((Up, G), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((TU, G * K), jnp.int32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(max_rounds, jnp.int32).reshape(1, 1),
+            bx.reshape(Up, G * K), by.reshape(Up, G * K),
+            bz.reshape(Up, G * K), bl.reshape(Up, G * K),
+            counts.reshape(Up, G), seglen.reshape(Up, G),
+            inc.reshape(Up, G * 4 * n_rounds),
+        )
+        return (
+            out[0].reshape(U, K), out[1].reshape(U, K),
+            out[2].reshape(U, K), out[3].reshape(U, K),
+            out[4].reshape(U, 1),
+        )
     TU = min(rows_per_block, U)
     assert U % TU == 0, f"rows {U} not divisible by block {TU}"
 

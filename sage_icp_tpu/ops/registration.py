@@ -117,6 +117,8 @@ class IcpResult(NamedTuple):
     pose: jax.Array  # (4, 4) final estimate (world <- scan)
     iterations: jax.Array  # int32
     num_correspondences: jax.Array  # int32 at the last iteration
+    dropped_queries: jax.Array  # int32 valid sources with no grid seat
+    #   (fast engine row/overflow capacity; 0 on the reference-shaped path)
 
 
 def register_frame(
@@ -231,7 +233,10 @@ def register_frame(
         )
         T_icp, iters, _, ncorr = jax.lax.while_loop(cond_f, body_f, init)
         pose = jnp.matmul(T_icp, initial_guess, precision="highest")
-        return IcpResult(pose=pose, iterations=iters, num_correspondences=ncorr)
+        return IcpResult(
+            pose=pose, iterations=iters, num_correspondences=ncorr,
+            dropped_queries=setup.n_dropped,
+        )
 
     def cond(carry):
         _, _, it, last_norm, _ = carry
@@ -269,4 +274,7 @@ def register_frame(
     # empty map: zero correspondences every iteration -> x = 0 after iter 1
     # -> T_icp = I -> returns initial_guess (reference Registration.cpp:119)
     pose = jnp.matmul(T_icp, initial_guess, precision="highest")
-    return IcpResult(pose=pose, iterations=iters, num_correspondences=ncorr)
+    return IcpResult(
+        pose=pose, iterations=iters, num_correspondences=ncorr,
+        dropped_queries=jnp.asarray(0, jnp.int32),
+    )

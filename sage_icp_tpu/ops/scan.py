@@ -126,6 +126,7 @@ def voxel_downsample(
     vox_scale: float,
     out_capacity: int,
     voxel_labels: tuple | None = None,
+    with_stats: bool = False,  # also return truncated-point count (i32)
 ) -> tuple[jax.Array, jax.Array]:
     """Class-adaptive voxel downsample, keeping the first point in scan
     order per (group, voxel) cell (reference Preprocessing.cpp:44-84).
@@ -203,4 +204,7 @@ def voxel_downsample(
     out_pts = jnp.where(
         out_val[:, None], jnp.stack(cols, axis=-1), inval
     )
+    if with_stats:
+        truncated = jnp.maximum(n_keep - out_capacity, 0).astype(jnp.int32)
+        return out_pts, out_val, truncated
     return out_pts, out_val

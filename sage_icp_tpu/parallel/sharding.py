@@ -75,7 +75,7 @@ def make_sharded_step(config: pl.SageConfig, mesh: Mesh, donate: bool = True):
             shard_pts,  # timestamps
         ),
         out_shardings=(state_sharding, repl, jax.tree.map(lambda _: repl,
-                       pl.StepAux(*([None] * 5)))),
+                       pl.StepAux(*([None] * len(pl.StepAux._fields))))),
         donate_argnums=(0,) if donate else (),
     )
 

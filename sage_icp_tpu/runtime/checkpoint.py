@@ -40,6 +40,12 @@ def save_state(path: str, odom: SageICP) -> None:
         thr_sse=np.asarray(s.threshold.sse),
         thr_n=np.asarray(s.threshold.num_samples),
         trajectory=odom.trajectory(),
+        # layout parameters the arrays are only valid under: entries are
+        # placed by probe distance, so loading under a different
+        # probe_depth makes deep entries unfindable; the grid toggle must
+        # come from the config, not from file contents
+        probe_depth=np.asarray(odom.config.probe_depth),
+        dense_grid=np.asarray(odom.config.dense_grid),
     )
 
 
@@ -53,6 +59,19 @@ def load_state(path: str, odom: SageICP) -> SageICP:
     assert z["map_points"].dtype == np.int16, (
         "pre-quantization (f32 block storage) checkpoints are not loadable"
     )
+    if "probe_depth" in z:
+        assert int(z["probe_depth"]) == odom.config.probe_depth, (
+            f"checkpoint probe_depth {int(z['probe_depth'])} != config "
+            f"{odom.config.probe_depth}: entries placed at deeper probe "
+            "offsets would be unfindable"
+        )
+        assert bool(z["dense_grid"]) == odom.config.dense_grid, (
+            "checkpoint dense_grid flag does not match the loading config"
+        )
+    else:  # pre-metadata checkpoints: refuse rather than silently corrupt
+        raise AssertionError(
+            "checkpoint lacks probe_depth/dense_grid metadata; re-save it"
+        )
     odom.state = OdomState(
         map=MapState(
             keys=jnp.asarray(z["map_keys"]),

@@ -39,6 +39,15 @@ def main(argv=None):
                     help="offline-throughput mode: register frames in "
                     "device-side lax.scan chunks of this size")
     ap.add_argument("--no-labels", action="store_true")
+    ap.add_argument("--deskew", action="store_true",
+                    help="constant-velocity motion compensation; per-point "
+                    "timestamps come from the dataset or the azimuth-phase "
+                    "fallback (reference pipeline/sageICP.cpp:38-51)")
+    ap.add_argument("--image-dir", type=str, default=None,
+                    help="camera image directory: write scan-overlay PNGs "
+                    "every --image-every frames (reference "
+                    "eval/kittiraw_image_pub.py)")
+    ap.add_argument("--image-every", type=int, default=50)
     ap.add_argument("--platform", type=str, default=None,
                     help="force a JAX platform (e.g. cpu, tpu); overrides "
                     "any site-pinned default, unlike the JAX_PLATFORMS env "
@@ -54,8 +63,16 @@ def main(argv=None):
     from sage_icp_tpu.runtime.runner import make_odometry, run_sequence
     from sage_icp_tpu.runtime.keyframes import KeyframeExtractor
 
-    odom = make_odometry(args.preset)
+    odom = make_odometry(args.preset, deskew=args.deskew)
     all_metrics = {}
+    overlay = None
+    if args.image_dir:
+        from sage_icp_tpu.runtime.overlay import OverlayWriter
+
+        overlay = OverlayWriter(
+            args.image_dir, os.path.join(args.out, "overlays"),
+            every=args.image_every,
+        )
 
     if args.dataset == "synthetic":
         from sage_icp_tpu.utils import synthetic
@@ -83,10 +100,12 @@ def main(argv=None):
                 args.root, seq, with_labels=not args.no_labels
             )
             kf = KeyframeExtractor() if args.keyframes else None
+            if overlay is not None:
+                overlay.set_calib(ds.calib)
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 keyframes=kf, progress=True, seq_name=ds.seq,
-                chunk=args.chunk,
+                chunk=args.chunk, overlay=overlay,
             )
             res.save(os.path.join(args.out, f"seq{ds.seq}"), ds.timestamps)
             all_metrics[ds.seq] = res.metrics()
@@ -107,6 +126,7 @@ def main(argv=None):
             progress=True,
             seq_name=args.drive,
             chunk=args.chunk,
+            overlay=overlay,
         )
         res.save(os.path.join(args.out, args.drive))
         all_metrics[args.drive] = res.metrics()
@@ -126,7 +146,7 @@ def main(argv=None):
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 progress=True, seq_name=f"{date}_{drive}",
-                chunk=args.chunk,
+                chunk=args.chunk, overlay=overlay,
             )
             res.save(os.path.join(args.out, f"{date}_{drive}"))
             all_metrics[f"{date}_{drive}"] = res.metrics()

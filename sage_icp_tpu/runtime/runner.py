@@ -22,6 +22,25 @@ from sage_icp_tpu.metrics import kitti as metrics
 from sage_icp_tpu.ops import geometry as geo
 from sage_icp_tpu.runtime.keyframes import KeyframeExtractor
 
+# Device-calibrated ICP phase model (docs/PERF.md, scripts/profile_iter2):
+# one solve = correspondence setup (sort/probe/gather) + n fused GN
+# iterations. The step is ONE fused device program, so per-frame ICP time
+# cannot be clocked host-side; time.txt's t_icp column is estimated as
+# setup + iters * per_iter from the per-frame iteration counts the step
+# returns (the reference clocks the same span with std::chrono,
+# pipeline/sageICP.cpp:79-88).
+ICP_SETUP_S = 4.0e-3
+ICP_ITER_S = 0.4e-3
+
+
+def estimate_icp_times(iteration_counts, total_times):
+    """Per-frame ICP-time estimates, clipped into [0, t_all]."""
+    out = []
+    for i, tot in enumerate(total_times):
+        it = int(iteration_counts[i]) if i < len(iteration_counts) else 0
+        out.append(min(ICP_SETUP_S + ICP_ITER_S * it, float(tot)))
+    return out
+
 
 def pose_to_tum(t: float, pose: np.ndarray) -> str:
     import jax.numpy as jnp
@@ -120,6 +139,7 @@ def run_sequence(
     progress: bool = False,
     seq_name: str = "seq",
     chunk: int = 0,
+    overlay=None,  # runtime.overlay.OverlayWriter: per-frame camera PNGs
 ) -> SequenceResult:
     """Drive scans through the odometry; scans is an iterable of (n, 4).
 
@@ -133,8 +153,8 @@ def run_sequence(
     dump (ros/ros2/OdometryServer.cpp:301-349)."""
     odom.reinitialize()
     est, icp_t, tot_t = [], [], []
-    if chunk > 0 and keyframes is None and timestamps_per_point is None:
-        buf = []
+    if chunk > 0 and keyframes is None and overlay is None:
+        buf, buf_ts = [], []
         t0 = time.perf_counter()
         n_done = 0
         try:
@@ -142,14 +162,19 @@ def run_sequence(
                 if max_frames is not None and i >= max_frames:
                     break
                 buf.append(scan)
+                buf_ts.append(
+                    timestamps_per_point[i]
+                    if timestamps_per_point is not None
+                    else None
+                )
                 if len(buf) == chunk:
-                    odom.register_chunk(buf)
+                    odom.register_chunk(buf, buf_ts)
                     n_done += len(buf)
-                    buf = []
+                    buf, buf_ts = [], []
                     if progress:
                         print(f"[{seq_name}] {n_done} frames")
-            for scan in buf:  # ragged tail frame-by-frame
-                odom.register_frame(scan, block=False)
+            for scan, ts in zip(buf, buf_ts):  # ragged tail frame-by-frame
+                odom.register_frame(scan, ts, block=False)
                 n_done += 1
         except KeyboardInterrupt:
             print(f"[{seq_name}] interrupted after ~{n_done} frames; "
@@ -157,8 +182,8 @@ def run_sequence(
         est = list(odom.trajectory())
         n_done = len(est)
         per = (time.perf_counter() - t0) / max(n_done, 1)
-        icp_t = [per] * n_done
         tot_t = [per] * n_done
+        icp_t = estimate_icp_times(odom.iteration_counts(), tot_t)
     else:
         try:
             for i, scan in enumerate(scans):
@@ -173,10 +198,11 @@ def run_sequence(
                 pose = odom.register_frame(scan, ts)
                 tot = time.perf_counter() - t0
                 est.append(pose)
-                icp_t.append(tot)  # per-frame host total; device-internal
-                tot_t.append(tot)  # phases are fused into one jitted step
+                tot_t.append(tot)
                 if keyframes is not None:
                     keyframes.update(scan, pose)
+                if overlay is not None:
+                    overlay.maybe_write(i, scan)
                 if progress and i % 50 == 0:
                     print(
                         f"[{seq_name}] frame {i} t={pose[:3, 3].round(2)}"
@@ -184,6 +210,7 @@ def run_sequence(
         except KeyboardInterrupt:
             print(f"[{seq_name}] interrupted after {len(est)} frames; "
                   "dumping partial trajectory")
+        icp_t = estimate_icp_times(odom.iteration_counts(), tot_t)
     if not est:
         est = [np.eye(4)]
     gt = None
@@ -192,7 +219,14 @@ def run_sequence(
     return SequenceResult(seq_name, np.stack(est), gt, icp_t, tot_t)
 
 
-def make_odometry(preset_or_config) -> SageICP:
-    if isinstance(preset_or_config, SageConfig):
-        return SageICP(preset_or_config)
-    return SageICP(PRESETS[preset_or_config])
+def make_odometry(preset_or_config, deskew: bool | None = None) -> SageICP:
+    cfg = (
+        preset_or_config
+        if isinstance(preset_or_config, SageConfig)
+        else PRESETS[preset_or_config]
+    )
+    if deskew is not None and deskew != cfg.deskew:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, deskew=deskew)
+    return SageICP(cfg)

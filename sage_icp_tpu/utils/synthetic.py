@@ -154,6 +154,131 @@ def build_world(
     return points, labels
 
 
+def build_city_world(
+    seed: int = 0,
+    size: float = 420.0,
+    block: float = 60.0,
+    density: float = 1.0,
+):
+    """Manhattan-grid city: roads every `block` meters in both axes with
+    sidewalk borders, building slabs filling the blocks, poles at corners.
+    Unlike the corridor world (build_world), surfaces cover the FULL
+    local-map disc, so the live map under the 100 m cull reaches the
+    50-100k-voxel KITTI steady state (reference map scale,
+    core/VoxelHashMap.cpp:176-184) instead of underfilling it. Returns
+    (points (M, 3) f32, labels (M,) i32); trajectory runs along y=0."""
+    rng = np.random.default_rng(seed)
+    pts, labs = [], []
+    inv_d = 1.0 / float(density)
+    half = size / 2.0
+
+    def slab(x0, x1, y0, y1, z, step, label, jitter=0.03, zjit=0.02):
+        step = step * inv_d
+        xs = np.arange(x0, x1, step)
+        ys = np.arange(y0, y1, step)
+        if len(xs) == 0 or len(ys) == 0:
+            return
+        X, Y = np.meshgrid(xs, ys)
+        n = X.size
+        p = np.stack(
+            [
+                X.ravel() + rng.normal(0, jitter, n),
+                Y.ravel() + rng.normal(0, jitter, n),
+                np.full(n, z) + rng.normal(0, zjit, n),
+            ],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, label, dtype=np.int32))
+
+    def wall_x(x0, x1, y, z1, step, label):
+        step = step * inv_d
+        xs = np.arange(x0, x1, step)
+        zs = np.arange(0.0, z1, step)
+        if len(xs) == 0 or len(zs) == 0:
+            return
+        X, Z = np.meshgrid(xs, zs)
+        n = X.size
+        p = np.stack(
+            [X.ravel(), np.full(n, y) + rng.normal(0, 0.03, n), Z.ravel()],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, BUILDING, dtype=np.int32))
+
+    def wall_y(y0, y1, x, z1, step, label):
+        step = step * inv_d
+        ys = np.arange(y0, y1, step)
+        zs = np.arange(0.0, z1, step)
+        if len(ys) == 0 or len(zs) == 0:
+            return
+        Y, Z = np.meshgrid(ys, zs)
+        n = Y.size
+        p = np.stack(
+            [np.full(n, x) + rng.normal(0, 0.03, n), Y.ravel(), Z.ravel()],
+            axis=1,
+        )
+        pts.append(p)
+        labs.append(np.full(n, BUILDING, dtype=np.int32))
+
+    road_half = 5.0
+    walk = 2.5
+    edges = np.arange(-half, half + 1.0, block)
+    # road strips (both axes) + sidewalks alongside
+    for e in edges:
+        slab(-half, half, e - road_half, e + road_half, 0.0, 0.5, ROAD)
+        slab(e - road_half, e + road_half, -half, half, 0.0, 0.5, ROAD)
+        slab(-half, half, e + road_half, e + road_half + walk, 0.12, 0.5,
+             SIDEWALK)
+        slab(-half, half, e - road_half - walk, e - road_half, 0.12, 0.5,
+             SIDEWALK)
+    # building blocks: slab roofs omitted, 4 facade walls + interior ground
+    inner = road_half + walk
+    for bx in edges[:-1]:
+        for by in edges[:-1]:
+            x0, x1 = bx + inner, bx + block - inner
+            y0, y1 = by + inner, by + block - inner
+            if x1 - x0 < 4 or y1 - y0 < 4:
+                continue
+            h = 5.0 + (rng.integers(0, 4)) * 2.0
+            wall_x(x0, x1, y0, h, 0.5, BUILDING)
+            wall_x(x0, x1, y1, h, 0.5, BUILDING)
+            wall_y(y0, y1, x0, h, 0.5, BUILDING)
+            wall_y(y0, y1, x1, h, 0.5, BUILDING)
+            # sparse vegetation inside the block (visible over low walls)
+            n = 150
+            p = np.stack(
+                [
+                    rng.uniform(x0, x1, n),
+                    rng.uniform(y0, y1, n),
+                    h + rng.uniform(0.0, 2.0, n),
+                ],
+                axis=1,
+            )
+            pts.append(p)
+            labs.append(np.full(n, VEGETATION, dtype=np.int32))
+    # poles at intersections + parked cars along roads
+    for e in edges:
+        for x in np.arange(-half + 10, half, 35.0):
+            zs = np.arange(0, 4.0, 0.12)
+            n = len(zs)
+            p = np.stack(
+                [
+                    np.full(n, x) + rng.normal(0, 0.01, n),
+                    np.full(n, e + road_half + 0.5),
+                    zs,
+                ],
+                axis=1,
+            )
+            pts.append(p)
+            labs.append(np.full(n, POLE, dtype=np.int32))
+        for x in np.arange(-half + 18, half, 45.0):
+            slab(x, x + 4.2, e + 3.4, e + 4.9, 0.8, 0.22, CAR)
+    points = np.concatenate(pts).astype(np.float32)
+    labels = np.concatenate(labs)
+    return points, labels
+
+
 def make_trajectory(
     n_frames: int,
     step: float = 1.0,
@@ -177,6 +302,73 @@ def make_trajectory(
         y += v * np.sin(yaw)
         yaw += curve * v
     return np.stack(poses)
+
+
+def make_maneuver_trajectory(
+    straight: int = 10,
+    turn: int = 8,
+    stop: int = 3,
+    reverse: int = 6,
+    step: float = 1.0,
+    turn_deg: float = 90.0,
+    start=(-20.0, 0.0),
+):
+    """Hard trajectory: straight -> sharp turn -> full stop -> reverse.
+    Exercises the adaptive threshold (stop/go), the constant-velocity
+    prediction under model violation (sharp yaw, reversal), and map
+    revisiting after the cull (reverse). Sensor at z = 1.8."""
+    poses = []
+    x, y = float(start[0]), float(start[1])
+    yaw = 0.0
+
+    def emit():
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = [x, y, 1.8]
+        poses.append(T.copy())
+
+    for _ in range(straight):
+        emit()
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
+    dyaw = np.deg2rad(turn_deg) / max(turn, 1)
+    for _ in range(turn):
+        emit()
+        yaw += dyaw
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
+    for _ in range(stop):
+        emit()
+    for _ in range(reverse):
+        emit()
+        x -= step * np.cos(yaw)
+        y -= step * np.sin(yaw)
+    emit()
+    return np.stack(poses)
+
+
+def skew_scan(
+    scan: np.ndarray,
+    delta_twist: np.ndarray,
+    timestamps: np.ndarray,
+) -> np.ndarray:
+    """Apply INTRA-SCAN motion distortion to a rendered (mid-pose) scan:
+    the point seen at sweep phase t was actually observed from the pose
+    exp((t - 0.5) * delta) relative to mid-scan, so the raw measurement is
+    exp((t - 0.5) * delta)^-1 . p — exactly what DeSkewScan inverts
+    (reference core/Deskew.cpp:36-50). delta_twist: (6,) = log(per-frame
+    motion); timestamps: (n,) in [0, 1]."""
+    import jax.numpy as jnp
+
+    from sage_icp_tpu.ops import geometry as geo
+
+    scaled = (-(timestamps - 0.5))[:, None] * delta_twist[None, :]
+    T = np.asarray(geo.se3_exp(jnp.asarray(scaled, jnp.float32)))
+    xyz = np.einsum("nij,nj->ni", T[:, :3, :3], scan[:, :3]) + T[:, :3, 3]
+    out = scan.copy()
+    out[:, :3] = xyz.astype(np.float32)
+    return out
 
 
 def render_scan(

@@ -90,3 +90,62 @@ def test_fast_empty_map(rng):
 def test_fast_path_supported_bounds():
     assert cf.fast_path_supported(0.8, 100.0, 100.0)
     assert not cf.fast_path_supported(0.2, 100.0, 100.0)
+
+
+def test_fast_path_rejects_culled_blocks(rng):
+    """remove_far must ERASE culled blocks (keys + probe visibility), not
+    just zero counts: the fast path reads lane validity from the sanitized
+    label plane, so a culled block with a matchable key would resurrect
+    deleted map data on revisits (the reference erases the entry outright,
+    VoxelHashMap.cpp:176-184). Fast and slow paths must agree after a cull."""
+    state = build_map(rng, n=600, spread=12.0)
+    # cull everything farther than 6 m from the origin
+    state = hm.remove_far(state, jnp.zeros(3), 6.0)
+    q = np.concatenate(
+        [
+            rng.uniform(-12, 12, size=(256, 3)),
+            rng.choice([0, 40, 50, 10], size=(256, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    qj = jnp.asarray(q)
+    vj = jnp.ones(256, dtype=bool)
+    tgt_ref, acc_ref = hm.get_correspondences(state, qj, vj, VOXEL, 1.5, 0.4, 16)
+    center = trunc_div(jnp.zeros(3), VOXEL)
+    tables = cf.build_probe_tables(state, center, 16)
+    tgt_fast, acc_fast = cf.get_correspondences_fast(
+        state, tables, qj, vj, VOXEL, 1.5, 0.4, 16,
+        unique_voxel_rows=512, queries_per_voxel=4, overflow_rows=64,
+    )
+    acc_ref, acc_fast = np.asarray(acc_ref), np.asarray(acc_fast)
+    np.testing.assert_array_equal(acc_ref, acc_fast)
+    np.testing.assert_allclose(
+        np.asarray(tgt_ref)[acc_ref], np.asarray(tgt_fast)[acc_fast],
+        atol=1e-5,
+    )
+    # queries sitting squarely in culled territory must find nothing
+    far = np.linalg.norm(q[:, :3], axis=1) > 6.0 + 2 * VOXEL
+    assert not acc_fast[far].any(), "fast path matched culled map data"
+
+
+def test_corr_setup_counts_dropped_queries(rng):
+    """Row/overflow exhaustion must be counted, never silent."""
+    state = build_map(rng, n=600, spread=12.0)
+    q = np.concatenate(
+        [
+            rng.uniform(-12, 12, size=(512, 3)),
+            rng.choice([0, 40], size=(512, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    center = trunc_div(jnp.zeros(3), VOXEL)
+    tables = cf.build_probe_tables(state, center, 16)
+    # absurdly small grid: 8 rows x 1 query, 4 overflow rows
+    setup = cf.corr_setup(
+        state, tables, jnp.asarray(q), jnp.ones(512, dtype=bool), VOXEL, 16,
+        unique_voxel_rows=8, queries_per_voxel=1, overflow_rows=4,
+    )
+    n_seated = int(np.asarray(setup.grid_used).sum())
+    n_dropped = int(setup.n_dropped)
+    assert n_dropped > 0
+    assert n_seated + n_dropped == 512

@@ -288,3 +288,45 @@ def test_dense_grid_matches_window_lookup(rng):
     st = ins(st, near)
     check(st, probes)
     check(st, fprobes)
+
+
+def test_policy_kernel_lane_packed_matches_unpacked(rng):
+    """The lane-packed policy kernel (group blocks per 128-lane row,
+    ops/pallas_insert._kernel_packed) must be state-identical to the
+    XLA while_loop path at the PRODUCTION block size K=40, where packing
+    engages with group=3 (U divisible by 3*tile)."""
+    kmax = 40
+    state_a = hm.create(2048, kmax)
+    state_b = hm.create(2048, kmax)
+    pts = random_scan(rng, 4000, spread=6.0)
+    n = len(pts)
+    args = (
+        jnp.asarray(pts, dtype=jnp.float32),
+        jnp.ones((n,), dtype=bool),
+        VOXEL,
+        20,
+        make_mask(),
+    )
+    # 768 = 3 * 256: the packed dispatch picks group=3
+    a = hm.insert(state_a, *args, unique_voxel_capacity=768,
+                  policy_kernel=True)
+    b = hm.insert(state_b, *args, unique_voxel_capacity=768,
+                  policy_kernel=False)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+    np.testing.assert_array_equal(np.asarray(a.keys), np.asarray(b.keys))
+
+
+def test_remove_far_erases_keys(rng):
+    """Culled blocks must be unfindable by every probe path (keys erased,
+    first_pts reset) — see ops/hashmap.remove_far."""
+    pts = random_scan(rng, 500, spread=10.0)
+    state = insert_np(mk_state(), pts)
+    culled = hm.remove_far(state, jnp.zeros(3), 4.0)
+    killed = (np.asarray(state.counts) > 0) & (np.asarray(culled.counts) == 0)
+    assert killed.any()
+    assert (np.asarray(culled.keys)[killed] == hm.EMPTY_KEY).all()
+    # lookup can no longer find the culled voxels
+    kk = jnp.asarray(np.asarray(state.keys)[killed])
+    slots = hm.lookup(culled, kk)
+    assert (np.asarray(slots) == -1).all()

@@ -131,3 +131,28 @@ def test_chunked_step_matches_single_frames(world):
     b.register_chunk(scans[:3])
     b.register_chunk(scans[3:])
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-5)
+
+
+def test_quantized_upload_matches_f32(world):
+    """int16 scan upload (3.9 mm xyz quantization) must track the f32
+    path within quantization noise — it halves the serial host->device
+    bytes on the remote-TPU link (docs/PERF.md)."""
+    import dataclasses
+
+    pts, labs = world
+    rng = np.random.default_rng(11)
+    gt = synthetic.make_trajectory(5, step=0.8)
+    scans = [
+        synthetic.render_scan(pts, labs, gt[i], rng, n_target=6000)
+        for i in range(5)
+    ]
+    a = pl.SageICP(small_config())
+    b = pl.SageICP(
+        dataclasses.replace(small_config(), quantized_scan_upload=True)
+    )
+    for s in scans:
+        a.register_frame(s)
+        b.register_frame(s)
+    ta, tb = a.trajectory(), b.trajectory()
+    d = np.linalg.norm(ta[:, :3, 3] - tb[:, :3, 3], axis=-1)
+    assert d.max() < 0.02, f"quantized upload drifted {d.max():.4f} m"

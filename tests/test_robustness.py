@@ -1,0 +1,179 @@
+"""Accuracy hardening beyond the near-straight base trajectory:
+turn-heavy / stop-go / reversing maneuvers, a committed golden-trajectory
+regression, a production-preset (kitti capacities) smoke, the overflow
+counters firing on deliberately undersized configs, and deskew reducing
+ATE on motion-distorted scans.
+
+The reference's accuracy oracle is GT trajectories + the KITTI error math
+(reference metrics/Metrics.cpp:140-191); with no KITTI data in this
+environment the synthetic oracle is made hard instead (VERDICT.md r1 #6)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sage_icp_tpu.models import pipeline as pl
+from sage_icp_tpu.utils import synthetic
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "data", "golden_traj.npz")
+
+
+def small_config(**kw):
+    defaults = dict(
+        scan_capacity=16384,
+        frame_capacity=16384,
+        source_capacity=4096,
+        map_capacity=32768,
+        max_icp_iterations=100,
+        dynamic_vehicle_filter=False,
+        min_range=1.0,
+        corr_unique_voxel_rows=1024,
+        corr_overflow_rows=256,
+        insert_unique_capacity=4096,
+    )
+    defaults.update(kw)
+    return pl.SageConfig(**defaults)
+
+
+def drive(config, world, gt, n_target=9000, seed=3, timestamps=None):
+    pts, labs = world
+    rng = np.random.default_rng(seed)
+    odom = pl.SageICP(config)
+    for i in range(len(gt)):
+        scan = synthetic.render_scan(
+            pts, labs, gt[i], rng, n_target=n_target
+        )
+        ts = timestamps(i, scan) if timestamps is not None else None
+        if isinstance(ts, tuple):
+            scan, ts = ts
+        odom.register_frame(scan, ts)
+    return np.stack([np.asarray(p) for p in odom.poses]), odom
+
+
+def ate_trans(est, gt):
+    g0 = np.linalg.inv(gt[0])
+    e0 = np.linalg.inv(est[0])
+    err = [
+        np.linalg.norm((e0 @ e)[:3, 3] - (g0 @ g)[:3, 3])
+        for e, g in zip(est, gt)
+    ]
+    return float(np.sqrt(np.mean(np.square(err)))), err
+
+
+@pytest.fixture(scope="module")
+def city():
+    return synthetic.build_city_world(seed=2, size=160.0, block=50.0,
+                                      density=1.0)
+
+
+def test_turn_stop_reverse_trajectory(city):
+    """Sharp 90-degree turn, full stop, reversal: the constant-velocity
+    prediction is violated at the turn and the reversal revisits culled/
+    existing map territory — drift must stay bounded through all of it."""
+    gt = synthetic.make_maneuver_trajectory(
+        straight=8, turn=8, stop=3, reverse=6, step=1.0
+    )
+    est, odom = drive(small_config(), city, gt)
+    ate, err = ate_trans(est, gt)
+    assert ate < 0.30, f"maneuver ATE {ate:.3f} m, per-frame={np.round(err,3)}"
+    # the stop segment must not hallucinate motion
+    stopped = est[17:19]
+    dd = np.linalg.norm(stopped[1][:3, 3] - stopped[0][:3, 3])
+    assert dd < 0.10, f"moved {dd:.3f} m while stopped"
+
+
+def test_golden_trajectory_regression():
+    """Committed golden poses: perf work must not silently move the
+    answer. Tolerance is loose enough for cross-platform f32 reduction
+    order, tight enough to catch any semantic change (regenerate with
+    scripts/make_golden.py when a deviation is INTENDED and documented)."""
+    world = synthetic.build_world(seed=1, length=80.0)
+    gt = synthetic.make_trajectory(12, step=1.0)
+    est, _ = drive(small_config(), world, gt, seed=3)
+    if not os.path.exists(GOLDEN_PATH):
+        pytest.skip("golden file missing — run scripts/make_golden.py")
+    golden = np.load(GOLDEN_PATH)["poses"]
+    assert golden.shape == est.shape
+    dt = np.linalg.norm(golden[:, :3, 3] - est[:, :3, 3], axis=-1)
+    assert dt.max() < 0.02, f"drifted from golden by {dt.max():.4f} m"
+    dr = np.linalg.norm(golden[:, :3, :3] - est[:, :3, :3], axis=(-2, -1))
+    assert dr.max() < 0.02, f"rotation drift from golden {dr.max():.4f}"
+
+
+def test_overflow_counters_fire_when_undersized(city):
+    """A deliberately undersized config must make the drop counters
+    nonzero (VERDICT r1 #5: silent overflow was invisible)."""
+    gt = synthetic.make_maneuver_trajectory(straight=4, turn=0, stop=0,
+                                            reverse=0)
+    cfg = small_config(
+        insert_unique_capacity=256,
+        corr_unique_voxel_rows=64,
+        corr_overflow_rows=32,
+        max_incoming_per_voxel=2,
+    )
+    est, odom = drive(cfg, city, gt, n_target=9000)
+    aux = odom.last_aux
+    assert int(aux.insert_unique_overflow) > 0
+    assert int(aux.corr_dropped) > 0
+    assert int(aux.overflow_total()) > 0
+    # and the healthy config reports zero across the board
+    est2, odom2 = drive(small_config(), city, gt, n_target=9000)
+    assert int(odom2.last_aux.overflow_total()) == 0
+
+
+def test_deskew_reduces_ate_on_distorted_scans():
+    """Render mid-pose scans, distort them with the frame's own motion
+    (azimuth sweep phase), and check deskew recovers accuracy
+    (reference pipeline/sageICP.cpp:38-51, core/Deskew.cpp:36-50)."""
+    from sage_icp_tpu.datasets.kitti import azimuth_timestamps
+    from sage_icp_tpu.ops import geometry as geo
+
+    world = synthetic.build_world(seed=1, length=80.0)
+    gt = synthetic.make_trajectory(12, step=1.2, accel_frames=1)
+    pts, labs = world
+    rng = np.random.default_rng(5)
+    scans, tss = [], []
+    for i in range(len(gt)):
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=9000)
+        nxt = gt[min(i + 1, len(gt) - 1)]
+        delta = np.asarray(
+            geo.se3_log(jnp.asarray(np.linalg.inv(gt[i]) @ nxt, jnp.float32))
+        )
+        ts = azimuth_timestamps(scan[:, :3])
+        scans.append(synthetic.skew_scan(scan, delta, ts))
+        tss.append(ts)
+
+    def run(deskew):
+        cfg = small_config(deskew=deskew)
+        odom = pl.SageICP(cfg)
+        for s, t in zip(scans, tss):
+            odom.register_frame(s, t)
+        return np.stack([np.asarray(p) for p in odom.poses])
+
+    ate_off, _ = ate_trans(run(False), gt)
+    ate_on, _ = ate_trans(run(True), gt)
+    assert ate_on < ate_off * 0.7, (
+        f"deskew did not help: on={ate_on:.3f} off={ate_off:.3f}"
+    )
+    assert ate_on < 0.25, f"deskewed ATE too large: {ate_on:.3f}"
+
+
+@pytest.mark.slow
+def test_production_kitti_preset_smoke(city):
+    """Compile + step the REAL kitti preset (262k-slot map, 135k scan
+    capacity) for 2 frames on CPU — catches shape/capacity regressions the
+    shrunken test configs cannot (VERDICT r1 #7)."""
+    cfg = pl.PRESETS["kitti"]
+    gt = synthetic.make_trajectory(2, step=1.0)
+    pts, labs = city
+    rng = np.random.default_rng(0)
+    odom = pl.SageICP(cfg)
+    for i in range(2):
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=30000)
+        odom.register_frame(scan)
+    est = odom.trajectory()
+    assert est.shape == (2, 4, 4)
+    assert np.isfinite(est).all()
+    assert int(odom.last_aux.overflow_total()) == 0
