@@ -41,14 +41,20 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
 
     odom = pl.SageICP(config)
     world_pts, world_labs = world
-    gt = synthetic.make_trajectory(n_warmup + n_frames, step=1.0)
+    # one CONTINUOUS trajectory: per-frame warmup, then a chunked-step
+    # compile warmup, then the timed frames. Re-registering earlier scans
+    # for the compile warmup (round-1 bench) teleported the vehicle
+    # backwards, diverged the solve, and made the steady-state counters
+    # (and the map content) garbage.
+    n_total = n_warmup + chunk + n_frames
+    gt = synthetic.make_trajectory(n_total, step=1.0)
     rng = np.random.default_rng(0)
     scans = [
         synthetic.render_scan(
             world_pts, world_labs, gt[i], rng, n_target=n_points,
             max_range=min(100.0, config.max_range),
         )
-        for i in range(n_warmup + n_frames)
+        for i in range(n_total)
     ]
 
     # warmup: jit compile + map fill
@@ -56,9 +62,8 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
         odom.register_frame(scans[i])
 
     n_frames -= n_frames % chunk
-    # compile + warm the chunked step (re-registers warmup frames; state
-    # content does not affect steady-state timing)
-    odom.register_chunk(scans[:chunk])
+    # compile + warm the chunked step on the NEXT chunk of the trajectory
+    odom.register_chunk(scans[n_warmup : n_warmup + chunk])
     odom.trajectory()
 
     # pre-pad on host (jnp.asarray inside register_chunk uploads each

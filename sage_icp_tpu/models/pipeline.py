@@ -88,11 +88,19 @@ class SageConfig:
     frame_capacity: int = 65_536  # after 0.5x class-adaptive downsample
     source_capacity: int = 16_384  # after further 1.5x downsample (ICP src)
     map_capacity: int = 262_144  # voxel slots (power of two)
-    # bounded linear-probe window. At the steady-state load factor
-    # (~30-100k live voxels in 262k slots) chains are short; 8 halves the
-    # probe-window gather (128B->64B rows) with negligible overflow risk
-    probe_depth: int = 8
-    max_incoming_per_voxel: int = 24
+    # bounded linear-probe window. With the Fibonacci-mixed hash
+    # (ops/hashmap.py::hash_keys) a depth-12 window yields ZERO claim
+    # failures at the steady-state load factor (~80k live voxels in 262k
+    # slots, simulated on the bench city world; docs/PERF.md) — the
+    # insert_claim_failures counter in StepAux verifies this per frame
+    probe_depth: int = 12
+    # per-frame per-voxel incoming cap: the 0.5x class-adaptive downsample
+    # feeding the insert emits up to ~(2*v_map/v_class)^3 points per map
+    # voxel (road class 0.3 m cells in a 0.8 m voxel -> measured frame max
+    # 39); 48 covers it with margin, and the policy kernel's round loop is
+    # bounded by the frame's ACTUAL max rank, so an oversized cap costs
+    # only window-table bytes, not rounds
+    max_incoming_per_voxel: int = 48
     # distinct voxels touched by one frame's insert (compaction bound);
     # typical steady state is frame points / 2-4. A multiple of 3*256
     # lets the policy kernel pack 3 K=40 blocks per 128-lane row
@@ -168,7 +176,12 @@ PRESETS = {
         scan_capacity=65_536,
         frame_capacity=32_768,
         source_capacity=8_192,
-        map_capacity=32_768,
+        # ~21k voxels stay live under the 100 m cull once the trajectory
+        # covers the corridor; 65k slots keep the open-addressing load at
+        # ~0.31 where a 12-deep probe window never exhausts (measured
+        # zero claim failures; 32k slots ran at load 0.63 and failed
+        # ~700 claims per frame — docs/PERF.md round 2)
+        map_capacity=65_536,
         insert_unique_capacity=8_448,  # 3 * 256 * 11: packed policy rows
         corr_unique_voxel_rows=3072,
         corr_overflow_rows=512,
@@ -220,6 +233,9 @@ class StepAux(NamedTuple):
     insert_claim_failures: jax.Array  # probe-window-exhausted new voxels
     insert_incoming_truncated: jax.Array  # points > max_incoming_per_voxel
     dynfilter_overflow: jax.Array  # vehicle points beyond the filter cap
+    nonfinite_pose: jax.Array  # 1 iff ICP returned a non-finite pose this
+    #   frame (singular geometry / teleported input); the step then falls
+    #   back to the motion-model guess so the map is never NaN-polluted
 
     def overflow_total(self):
         """Sum of every silent-drop channel — assert == 0 in benchmarks."""
@@ -227,6 +243,7 @@ class StepAux(NamedTuple):
             self.corr_dropped + self.ds_truncated
             + self.insert_unique_overflow + self.insert_claim_failures
             + self.insert_incoming_truncated + self.dynfilter_overflow
+            + self.nonfinite_pose
         )
 
 
@@ -422,7 +439,14 @@ def odometry_step(
         fast_params=fast_params,
         tables=shared_tables,
     )
-    new_pose = icp.pose
+    # Non-finite guard: Gauss-Newton on singular geometry (or a teleported
+    # input) can overflow se3_exp and return an inf/NaN pose. The reference
+    # leaves this undefined; here the step falls back to the motion-model
+    # guess so the map is never polluted with NaN keys (a NaN voxel key
+    # would poison sort/probe for the rest of the run). Surfaced in
+    # StepAux.nonfinite_pose, which rides overflow_total().
+    pose_ok = jnp.all(jnp.isfinite(icp.pose))
+    new_pose = jnp.where(pose_ok, icp.pose, initial_guess)
 
     # --- threshold deviation + map update ---------------------------------------
     model_deviation = jnp.matmul(
@@ -469,6 +493,7 @@ def odometry_step(
         insert_claim_failures=ins_stats.claim_failures,
         insert_incoming_truncated=ins_stats.incoming_truncated,
         dynfilter_overflow=dyn_overflow,
+        nonfinite_pose=(~pose_ok).astype(jnp.int32),
     )
     return new_state, new_pose, aux
 

@@ -246,14 +246,25 @@ def dequantize_blocks(
 
 
 def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
-    """Reference spatial hash (VoxelHashMap.hpp:72-77), masked to capacity."""
+    """Spatial hash (reference VoxelHashMap.hpp:72-77) + Fibonacci mixing.
+
+    The reference's chained std::unordered_map tolerates a weak hash; an
+    open-addressing table does not. Masking the 3-prime XOR to its LOW
+    bits clusters structured voxel grids badly: on the bench corridor at
+    load 0.17 serial linear probing already exhausts an 8-slot window for
+    8% of keys (measured, docs/PERF.md). Multiplying by 2^32/phi and
+    taking the HIGH bits decorrelates the lattice: failures drop ~12x at
+    equal load. Semantics are unchanged (any hash is correct; insert,
+    lookup and the probe windows all route through this function)."""
     k = keys.astype(jnp.uint32)
     h = (
         k[..., 0] * jnp.uint32(73856093)
         ^ k[..., 1] * jnp.uint32(19349663)
         ^ k[..., 2] * jnp.uint32(83492791)
     )
-    return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    bits = int(capacity).bit_length() - 1
+    h = (h * jnp.uint32(2654435769)) >> jnp.uint32(32 - bits)
+    return h.astype(jnp.int32)
 
 
 def lookup(
