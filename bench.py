@@ -71,7 +71,7 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
     # axon tunnel, see docs/PERF.md)
     padded = [
         odom.pad_chunk(scans[i : i + chunk])
-        for i in range(n_warmup, n_warmup + n_frames, chunk)
+        for i in range(n_warmup + chunk, n_warmup + chunk + n_frames, chunk)
     ]
     t0 = time.perf_counter()
     for p in padded:
@@ -101,7 +101,8 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
         f"unique_overflow={int(aux.insert_unique_overflow)} "
         f"claim_failures={int(aux.insert_claim_failures)} "
         f"incoming_truncated={int(aux.insert_incoming_truncated)} "
-        f"dynfilter_overflow={int(aux.dynfilter_overflow)}"
+        f"dynfilter_overflow={int(aux.dynfilter_overflow)} "
+        f"nonfinite_pose={int(aux.nonfinite_pose)}"
     )
     n_map_voxels = int(np.asarray((odom.state.map.counts > 0).sum()))
     return scans_per_sec, n_map_voxels

@@ -245,6 +245,13 @@ def dequantize_blocks(
     return jnp.moveaxis(jnp.concatenate([xyz, lab], axis=-2), -2, -1)
 
 
+# Bump whenever hash_keys (or slot-placement semantics) changes: slot
+# positions are baked into checkpoints, so a checkpoint written under a
+# different layout loads with every entry unfindable. v2 = Fibonacci
+# high-bits mixing (round 2); v1 = low-bits 3-prime XOR (round 1).
+HASH_LAYOUT_VERSION = 2
+
+
 def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
     """Spatial hash (reference VoxelHashMap.hpp:72-77) + Fibonacci mixing.
 

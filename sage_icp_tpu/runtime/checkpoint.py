@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sage_icp_tpu.models.pipeline import OdomState, SageICP, ThresholdState
+from sage_icp_tpu.ops import hashmap
 from sage_icp_tpu.ops.hashmap import MapState
 
 
@@ -46,6 +47,7 @@ def save_state(path: str, odom: SageICP) -> None:
         # come from the config, not from file contents
         probe_depth=np.asarray(odom.config.probe_depth),
         dense_grid=np.asarray(odom.config.dense_grid),
+        hash_layout=np.asarray(hashmap.HASH_LAYOUT_VERSION),
     )
 
 
@@ -58,6 +60,16 @@ def load_state(path: str, odom: SageICP) -> SageICP:
     )
     assert z["map_points"].dtype == np.int16, (
         "pre-quantization (f32 block storage) checkpoints are not loadable"
+    )
+    # slot positions depend on the hash function itself, not just the
+    # probe depth — a checkpoint written under an older hash loads with
+    # every entry silently unfindable, so refuse version mismatches
+    got_layout = int(z["hash_layout"]) if "hash_layout" in z else 1
+    assert got_layout == hashmap.HASH_LAYOUT_VERSION, (
+        f"checkpoint hash layout v{got_layout} != runtime "
+        f"v{hashmap.HASH_LAYOUT_VERSION}: map slots were placed by a "
+        "different hash function and would be unfindable; re-build the "
+        "map from scans instead of loading this checkpoint"
     )
     if "probe_depth" in z:
         assert int(z["probe_depth"]) == odom.config.probe_depth, (

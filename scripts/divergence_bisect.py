@@ -1,0 +1,103 @@
+"""Bisect the frame-16+ divergence: run 40 per-frame steps with one
+component disabled at a time. REPRO_MODE env:
+  base       — as the bench runs it (quantized upload, all kernels on)
+  noquant    — f32 scan upload
+  nopolicy   — XLA while_loop retention policy instead of the Pallas kernel
+  nopallas   — XLA einsum NN path instead of the fused Pallas kernels
+  cpu        — force the CPU backend (interpret Pallas), otherwise base
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import dataclasses
+
+MODE = os.environ.get("REPRO_MODE", "base")
+import jax
+
+if MODE == "cpu" or os.environ.get("REPRO_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from sage_icp_tpu.models import pipeline as pl
+from sage_icp_tpu.ops import hashmap as hm
+from sage_icp_tpu.utils import synthetic
+
+if MODE == "r1hash":  # round-1 low-bits hash instead of Fibonacci mixing
+    import jax.numpy as jnp
+
+    def _r1_hash(keys, capacity):
+        k = keys.astype(jnp.uint32)
+        h = (
+            k[..., 0] * jnp.uint32(73856093)
+            ^ k[..., 1] * jnp.uint32(19349663)
+            ^ k[..., 2] * jnp.uint32(83492791)
+        )
+        return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+    hm.hash_keys = _r1_hash
+if MODE == "r1cull":  # round-1 remove_far (counts only, keys stay)
+    import jax.numpy as jnp
+
+    def _r1_remove_far(state, origin, max_distance):
+        first = state.first_pts
+        d2 = jnp.sum((first - origin[None, :]) ** 2, axis=-1)
+        live = state.counts > 0
+        kill = live & (d2 > max_distance * max_distance)
+        return state._replace(counts=jnp.where(kill, 0, state.counts))
+
+    hm.remove_far = _r1_remove_far
+    pl.hm.remove_far = _r1_remove_far
+if MODE == "nopolicy":
+    _orig_insert = hm.insert
+
+    def _patched(*a, **k):
+        k["policy_kernel"] = False
+        return _orig_insert(*a, **k)
+
+    hm.insert = _patched
+    pl.hm.insert = _patched
+if MODE == "nopallas":
+    from sage_icp_tpu.ops import correspondence_fast as cf
+
+    cf._pallas_mode = lambda: "off"
+
+n_frames = 40
+cfg = dataclasses.replace(
+    pl.PRESETS["synthetic"],
+    quantized_scan_upload=(MODE not in ("noquant", "r1cfg")),
+)
+if MODE == "r1cfg":  # round-1 capacities/probe parameters (code unchanged)
+    cfg = dataclasses.replace(
+        cfg, probe_depth=8, max_incoming_per_voxel=24,
+        map_capacity=32_768, insert_unique_capacity=8_192,
+    )
+if MODE == "nofast":  # reference-shaped path: re-search every iteration
+    cfg = dataclasses.replace(cfg, use_fast_correspondences=False)
+render_range = float(os.environ.get("REPRO_RANGE", "100"))
+world_pts, world_labs = synthetic.build_world(seed=0, length=260.0, density=2.0)
+gt = synthetic.make_trajectory(n_frames, step=1.0)
+rng = np.random.default_rng(0)
+scans = [synthetic.render_scan(world_pts, world_labs, gt[i], rng,
+                               n_target=120000, max_range=render_range)
+         for i in range(n_frames)]
+
+odom = pl.SageICP(cfg)
+auxes = []
+for i in range(n_frames):
+    odom.register_frame(scans[i])
+    auxes.append(odom.last_aux)
+tr = odom.trajectory()
+it = odom.iteration_counts()
+err = np.linalg.norm(tr[:, :3, 3] - gt[:, :3, 3], axis=1)
+for i in range(n_frames):
+    a = auxes[i]
+    print(f"[{MODE}] frame{i}: t={np.round(tr[i][:3, 3], 3)} "
+          f"err={err[i]:.3f} iters={it[i]} sigma={float(a.sigma):.3f} "
+          f"ncorr={int(a.num_correspondences)} nsrc={int(a.num_source)}",
+          flush=True)
+print(f"[{MODE}] max_err={np.nanmax(err):.3f} "
+      f"final_finite={bool(np.isfinite(tr[-1]).all())}")
