@@ -511,7 +511,14 @@ def insert(
     # instead of a separate lax.while_loop iteration (per-round launch
     # overhead ~1 ms dominated the XLA path; docs/PERF.md) -----------------
     Rmax = max_incoming_per_voxel
-    use_kernel = (U % 128 == 0) if policy_kernel is None else policy_kernel
+    # tiny blocks (the dynamic filter's K=1 occupancy grids, K<=4 label
+    # hashes) do at most a few policy rounds of trivial work — the XLA
+    # while_loop path is cheap there and the packed kernel's per-segment
+    # unrolling is not (see pallas_insert.apply_policy group cap)
+    use_kernel = (
+        (U % 128 == 0 and kmax >= 8) if policy_kernel is None
+        else policy_kernel
+    )
     # apply_policy tiles rows at rows_per_block and asserts divisibility:
     # match its tiling here (U = 384 would pass a %128 gate but fail a
     # fixed 256-row tiling at trace time)

@@ -230,7 +230,12 @@ def apply_policy(
     leaves 2/3 of the 128-lane vector idle, the dominant waste in this
     kernel (docs/PERF.md round-1 lever #3)."""
     U, K = bx.shape
-    group = max(1, 128 // K) if K < 128 else 1
+    # group is capped: _kernel_packed's per-segment selects/one-hot loops
+    # unroll `group` times, so large groups (e.g. K=1 -> 128) explode the
+    # kernel's scoped VMEM (measured 97 MB vs the 16 MB limit on v5e) and
+    # Mosaic compile time. 4 packed blocks already fill >= 94% of the
+    # 128-lane vector for every K >= 30.
+    group = max(1, min(4, 128 // K)) if K < 128 else 1
     while group > 1 and (
         U % group != 0 or (U // group) % min(rows_per_block, U // group) != 0
     ):

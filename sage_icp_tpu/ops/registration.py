@@ -222,7 +222,9 @@ def register_frame(
                 x = solve_increment(JTJ, JTr)
                 estimation = geo.se3_exp(x)
                 T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-                ncorr = jnp.sum(acc_g.astype(jnp.int32))
+                # dtype pinned: under jax_enable_x64 a bare sum promotes
+                # to int64 and breaks the while_loop carry
+                ncorr = jnp.sum(acc_g, dtype=jnp.int32)
                 return T_icp, it + 1, jnp.linalg.norm(x), ncorr
 
         init = (
@@ -260,7 +262,7 @@ def register_frame(
         estimation = geo.se3_exp(x)
         source = geo.transform_points(estimation, source)
         T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-        ncorr = jnp.sum(accept.astype(jnp.int32))
+        ncorr = jnp.sum(accept, dtype=jnp.int32)
         return source, T_icp, it + 1, jnp.linalg.norm(x), ncorr
 
     init = (

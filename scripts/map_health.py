@@ -50,21 +50,16 @@ def probe_health(mapstate, query, qvalid, center):
     return jnp.sum(acc.astype(jnp.int32)), jnp.sum(qvalid.astype(jnp.int32))
 
 
-@jax.jit
 def dup_keys(mapstate):
-    live = mapstate.counts > 0
-    k = jnp.where(live[:, None], mapstate.keys, jnp.int32(2**20))
-    key = (
-        (k[:, 0].astype(jnp.int64) + 2**20) * (1 << 42)
-        + (k[:, 1].astype(jnp.int64) + 2**20) * (1 << 21)
-        + (k[:, 2].astype(jnp.int64) + 2**20)
+    live = np.asarray(mapstate.counts) > 0
+    k = np.asarray(mapstate.keys)[live].astype(np.int64)
+    if len(k) == 0:
+        return 0, 0
+    code = (k[:, 0] + 2**20) * (1 << 42) + (k[:, 1] + 2**20) * (1 << 21) + (
+        k[:, 2] + 2**20
     )
-    s = jnp.sort(key)
-    dead = (jnp.int64(2**20) + 2**20) * (1 << 42) + (
-        jnp.int64(2**20) + 2**20
-    ) * (1 << 21) + (jnp.int64(2**20) + 2**20)
-    dup = (s[1:] == s[:-1]) & (s[1:] != dead)
-    return jnp.sum(dup.astype(jnp.int32)), jnp.sum(live.astype(jnp.int32))
+    s = np.sort(code)
+    return int(np.sum(s[1:] == s[:-1])), int(live.sum())
 
 
 for i in range(n_frames):
