@@ -8,15 +8,20 @@ vs_baseline is value / 200 — the BASELINE.md north-star target of
 >200 scans/s on one TPU v5e chip (the reference system itself sustains
 ~5 scans/s on the author's CPU, BASELINE.md "eval replay rate").
 
-TWO workloads, both the full semantic pipeline:
-  * value — the "synthetic" preset: capacities fitted to the corridor
-    world's measured occupancy (fixed shapes sized per deployment, like
-    sizing for a known sensor); ~5k live map voxels.
+TWO workloads, both the full semantic pipeline, both on the Manhattan-
+grid city world (structure in all directions; the corridor world used
+through round 2 is FORWARD-DEGENERATE for this class of odometry — the
+reference algorithm itself diverges on it, scripts/divergence_bisect.py):
+  * value — the "city" preset: capacities fitted to the city world's
+    measured occupancy at density 0.7 (fixed shapes sized per
+    deployment, like sizing for a known sensor); ~12k live map voxels,
+    ~7k ICP sources per frame.
   * kitti_scale_scans_per_sec — the PRODUCTION "kitti" preset (262,144
-    map slots, 135k scan capacity) on a Manhattan-grid city world whose
-    live map under the 100 m cull holds the 50-100k voxels of the real
-    KITTI steady state (reference core/VoxelHashMap.cpp:176-184). This is
-    the honest number for "KITTI steady state".
+    map slots, 135k scan capacity) at density 2.0, whose per-frame
+    point counts match the real KITTI steady state (raw ~74k, frame
+    downsample ~53k, sources ~15k; live map reaches ~33k voxels over 60
+    frames vs KITTI's ~50-100k — the synthetic thinning is harsher at
+    range). This is the honest number for "KITTI steady state".
 
 Every phase asserts the per-frame overflow counters (StepAux) are zero —
 a fixed-shape pipeline must not silently truncate its workload.
@@ -123,19 +128,19 @@ def main():
     # the serial host->device bytes; BENCH_QUPLOAD=0 reverts to f32
     qup = os.environ.get("BENCH_QUPLOAD", "1") == "1"
 
-    # phase 1: fitted-capacity preset on the corridor world (headline)
-    config = pl.PRESETS[os.environ.get("BENCH_PRESET", "synthetic")]
+    # phase 1: fitted-capacity preset on the city world (headline)
+    config = pl.PRESETS[os.environ.get("BENCH_PRESET", "city")]
     config = dataclasses.replace(config, quantized_scan_upload=qup)
     if "BENCH_DENSE_GRID" in os.environ:
         config = dataclasses.replace(
             config, dense_grid=os.environ["BENCH_DENSE_GRID"] == "1"
         )
-    world = synthetic.build_world(
-        seed=0, length=260.0,
-        density=float(os.environ.get("BENCH_DENSITY", "2")),
+    world = synthetic.build_city_world(
+        seed=0, size=420.0,
+        density=float(os.environ.get("BENCH_DENSITY", "0.7")),
     )
     sps, nvox = run_phase(
-        config, world, n_warmup, n_frames, n_points, chunk, "synthetic"
+        config, world, n_warmup, n_frames, n_points, chunk, "city"
     )
 
     # phase 2: PRODUCTION kitti preset at true KITTI map scale

@@ -86,7 +86,11 @@ class SageConfig:
     # --- TPU capacities (fixed shapes; no reference analog) ---
     scan_capacity: int = 135_168  # raw points per scan (KITTI ~130k)
     frame_capacity: int = 65_536  # after 0.5x class-adaptive downsample
-    source_capacity: int = 16_384  # after further 1.5x downsample (ICP src)
+    source_capacity: int = 20_480  # after further 1.5x downsample (ICP
+    # src). Real KITTI runs at ~5-10k; the bench city world saturates at
+    # ~15.4k sources (surfaces fill the whole 100 m disc), which left only
+    # 6% headroom at the old 16384 — sized for the measured worst case
+    # with margin (scripts/world_occupancy.py)
     map_capacity: int = 262_144  # voxel slots (power of two)
     # bounded linear-probe window. With the Fibonacci-mixed hash
     # (ops/hashmap.py::hash_keys) a depth-12 window yields ZERO claim
@@ -130,9 +134,20 @@ class SageConfig:
     # spherical cull alone allows 2*local_map_range in z, which would
     # alias) — a declared deployment bound like the capacities above
     dense_grid_z_extent: float = 40.0
-    corr_unique_voxel_rows: int = 4096
-    corr_queries_per_voxel: int = 8
-    corr_overflow_rows: int = 1024
+    # Correspondence grid sizing. The 1.5x source downsample emits at
+    # most one query per 1.2 m cell while map voxels are 0.8 m, so MOST
+    # QUERIES ARE ALONE IN THEIR VOXEL: row demand ~= num_source, and
+    # queries_per_voxel beyond 2 is padding the NN kernel multiplies
+    # into wasted VPU work. Round-2's 4096x8 grid (sized by the shared-
+    # voxel intuition) could seat only 4096 of ~14k unique source voxels
+    # at KITTI scale — the dropped queries were the corr_dropped counter
+    # that killed the round-2 bench and the city-world divergence at
+    # frame ~20 (ncorr collapsed 4702 -> 0 while nsrc held 15k).
+    # Measured demand: scripts/world_occupancy.py. (rows + overflow)
+    # must stay a multiple of 128 (NN kernel tiling).
+    corr_unique_voxel_rows: int = 16_384
+    corr_queries_per_voxel: int = 2
+    corr_overflow_rows: int = 2048
     max_icp_iterations: int = 500
     dtype: str = "float32"
 
@@ -183,7 +198,32 @@ PRESETS = {
         # ~700 claims per frame — docs/PERF.md round 2)
         map_capacity=65_536,
         insert_unique_capacity=8_448,  # 3 * 256 * 11: packed policy rows
-        corr_unique_voxel_rows=3072,
+        # measured unique source voxels peak at 3154 on the corridor
+        # (scripts/world_occupancy.py); 3072 rows could drop queries at
+        # healthy poses — resized with margin
+        corr_unique_voxel_rows=4096,
+        corr_overflow_rows=512,
+    ),
+    # Manhattan-grid city world (utils/synthetic.py::build_city_world) at
+    # density 0.7 — the benchmark's fitted-capacity phase-1 preset. The
+    # corridor world behind the original "synthetic" preset is FORWARD-
+    # DEGENERATE for this class of odometry (the road direction is only
+    # weakly constrained; the closed loop amplifies whichever way noise
+    # tips — reference-exact semantics and f64 normal equations diverge
+    # on it identically, scripts/divergence_bisect.py), so the bench runs
+    # on the city world, whose structure constrains all six DoF.
+    # Capacities from measured occupancy (scripts/world_occupancy.py,
+    # d=0.7: raw 10.2k, ds1 9.9k, src 7.0k, unique src voxels 6.8k,
+    # insert voxels 9.0k, live map 12.7k) x 1.3-5 margin.
+    "city": SageConfig(
+        dynamic_vehicle_filter=False,
+        min_range=2.0,
+        scan_capacity=16_384,
+        frame_capacity=16_384,
+        source_capacity=8_192,
+        map_capacity=65_536,
+        insert_unique_capacity=9_984,  # 3 * 256 * 13: packed policy rows
+        corr_unique_voxel_rows=8_192,
         corr_overflow_rows=512,
     ),
     # geometric KISS-ICP mode: single class group holding every label,

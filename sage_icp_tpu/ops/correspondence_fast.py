@@ -78,7 +78,8 @@ def build_probe_tables(
     # windows no longer carry counts — half the build and half the
     # probe-gather bytes
     window = jnp.stack(
-        [jnp.roll(packed, -d) for d in range(probe_depth)], axis=1
+        [jnp.roll(packed, -hm.probe_offset(d)) for d in range(probe_depth)],
+        axis=1,
     )  # (C, D)
     k = state.points_per_voxel
     # the map stores blocks PLANAR already (hashmap.MapState.points is
@@ -110,7 +111,7 @@ def probe(
     match = match & (rel_codes[..., None] >= 0)
     found = jnp.any(match, axis=-1)
     d1 = jnp.argmax(match, axis=-1)
-    slot = (h + d1) & (cap - 1)
+    slot = (h + hm.probe_offset(d1)) & (cap - 1)
     return found, slot
 
 
@@ -128,12 +129,13 @@ class CorrSetup(NamedTuple):
     planar relayout are all loop-invariant.
 
     Row assignment is by the query's voxel at SETUP time. A query that
-    crosses a voxel boundary during the solve ("mover") would need a
-    shifted 27-neighborhood for strict parity with the reference's
-    per-iteration re-voxelization; corr_apply detects movers and drops
-    them from that iteration (pose increments after the first iteration
-    are sub-centimeter, so movers are a vanishing fraction; the reference
-    itself truncates the search to 27 voxels of the current position)."""
+    crosses a voxel boundary during the solve ("mover") keeps matching
+    against the setup row's 27-neighborhood as long as it stays within
+    ONE voxel of the setup voxel (its true NN remains inside the
+    gathered candidates for any gate < voxel_size — the same truncation
+    class as the reference's own 27-voxel search); only moves beyond the
+    neighbor shell are dropped for that iteration. See corr_apply for
+    why dropping all movers (rounds 1-2) destabilized the solve."""
 
     cxp: jax.Array  # (R, M) int16 candidate x, OWN-voxel-local quantized
     cyp: jax.Array  # (R, M) int16
@@ -337,11 +339,26 @@ def corr_apply(
         + T[:3, 3][None, None, :]
     )
     lab = setup.q0[..., 3]
-    # movers: queries whose CURRENT voxel differs from their setup row —
-    # their 27-neighborhood would be off-center; drop for this pass
+    # movers: queries whose current voxel differs from their setup row.
+    # A move of ONE voxel keeps the true NN inside the row's gathered
+    # 27-neighborhood for any gate < voxel_size, so such queries stay
+    # matched against the (slightly off-center) setup candidates — the
+    # same truncation class as the reference's own 27-voxel search
+    # (VoxelHashMap.cpp:88). Only moves BEYOND the neighbor shell drop.
+    # Round-3 lesson: dropping all movers (round 1-2) was a feedback
+    # loop — a normal first-iteration increment of a few cm crosses a
+    # boundary for ~10-25% of queries, the drop is spatially biased in
+    # the motion direction, the solve degrades, the next guess worsens,
+    # more movers drop; ncorr collapsed within ~5 frames on the city
+    # bench while the map and search were provably healthy
+    # (scripts/city_nn_probe.py).
     moved = jnp.any(
-        trunc_div(q_w, voxel_size) - setup.center[None, None, :]
-        != setup.row_rel[:, None, :],
+        jnp.abs(
+            trunc_div(q_w, voxel_size)
+            - setup.center[None, None, :]
+            - setup.row_rel[:, None, :]
+        )
+        > 1,
         axis=-1,
     )
     used = setup.grid_used & ~moved

@@ -80,7 +80,7 @@ class InsertStats(NamedTuple):
       * unique_overflow: distinct incoming voxels beyond
         insert_unique_capacity (their points are not inserted)
       * claim_failures: new voxels whose probe window was exhausted
-        (probe_depth consecutive slots all taken — table too full)
+        (all probe_depth triangular-offset slots taken — table too full)
       * incoming_truncated: points beyond max_incoming_per_voxel within
         one voxel's segment this frame (policy never saw them)
     """
@@ -247,9 +247,26 @@ def dequantize_blocks(
 
 # Bump whenever hash_keys (or slot-placement semantics) changes: slot
 # positions are baked into checkpoints, so a checkpoint written under a
-# different layout loads with every entry unfindable. v2 = Fibonacci
-# high-bits mixing (round 2); v1 = low-bits 3-prime XOR (round 1).
-HASH_LAYOUT_VERSION = 2
+# different layout loads with every entry unfindable. v3 = triangular
+# probing (round 3); v2 = Fibonacci high-bits mixing (round 2); v1 =
+# low-bits 3-prime XOR (round 1).
+HASH_LAYOUT_VERSION = 3
+
+
+def probe_offset(d):
+    """Triangular probe offset for round d: 0, 1, 3, 6, 10, ...
+
+    Linear probing suffers primary clustering: occupied runs attract
+    further insertions, so the probability that probe_depth CONSECUTIVE
+    slots are all full is far higher than load^depth (measured: one lost
+    voxel per ~500 at load 0.53 with depth 12 — a claim failure silently
+    drops the voxel's points, tests/test_hashmap.py caught it against the
+    oracle). Triangular offsets d(d+1)/2 sample a spread of slots, so a
+    full window needs depth INDEPENDENT collisions (~load^depth); on a
+    power-of-two table the sequence visits all slots (classic quadratic
+    probing property). The probe windows (correspondence_fast.build_probe_
+    tables) roll at the same offsets — build and probe costs unchanged."""
+    return (d * (d + 1)) // 2
 
 
 def hash_keys(keys: jax.Array, capacity: int) -> jax.Array:
@@ -281,7 +298,7 @@ def lookup(
     slot index, or -1 when absent. Inspects all D probe slots at once."""
     cap = state.capacity
     h = hash_keys(query_keys, cap)  # (...,)
-    offs = jnp.arange(probe_depth, dtype=jnp.int32)
+    offs = probe_offset(jnp.arange(probe_depth, dtype=jnp.int32))
     slots = (h[..., None] + offs) & (cap - 1)  # (..., D)
     cand = state.keys[slots]  # (..., D, 3)
     match = jnp.all(cand == query_keys[..., None, :], axis=-1)  # (..., D)
@@ -432,7 +449,7 @@ def insert(
     def claim_round(carry):
         d, slot_u, taken = carry
         unresolved = need_claim & (slot_u < 0)
-        s = (h + d) & (cap - 1)
+        s = (h + probe_offset(d)) & (cap - 1)
         eligible = unresolved & ~taken[s]
         # scatter-min of uid resolves races between distinct voxels
         claim = jnp.full((cap,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)

@@ -205,10 +205,18 @@ def _gn_kernel(smem_ref, T_ref, cx_ref, cy_ref, cz_ref, cl_ref, ox_ref,
         sx = T_ref[0, 0] * x0 + T_ref[0, 1] * y0 + T_ref[0, 2] * z0 + T_ref[0, 3]
         sy = T_ref[0, 4] * x0 + T_ref[0, 5] * y0 + T_ref[0, 6] * z0 + T_ref[0, 7]
         sz = T_ref[0, 8] * x0 + T_ref[0, 9] * y0 + T_ref[0, 10] * z0 + T_ref[0, 11]
-        # movers: current voxel must equal the setup row voxel
-        mvx = jnp.trunc(sx / vox).astype(jnp.int32) == rabs_ref[:, 0][:, None]
-        mvy = jnp.trunc(sy / vox).astype(jnp.int32) == rabs_ref[:, 1][:, None]
-        mvz = jnp.trunc(sz / vox).astype(jnp.int32) == rabs_ref[:, 2][:, None]
+        # movers: queries may drift up to ONE voxel from the setup row
+        # (their NN stays inside the row's 27-neighborhood; see
+        # correspondence_fast.corr_apply) — only farther moves drop
+        mvx = jnp.abs(
+            jnp.trunc(sx / vox).astype(jnp.int32) - rabs_ref[:, 0][:, None]
+        ) <= 1
+        mvy = jnp.abs(
+            jnp.trunc(sy / vox).astype(jnp.int32) - rabs_ref[:, 1][:, None]
+        ) <= 1
+        mvz = jnp.abs(
+            jnp.trunc(sz / vox).astype(jnp.int32) - rabs_ref[:, 2][:, None]
+        ) <= 1
         used = (used_ref[:, p][:, None] != 0) & mvx & mvy & mvz
 
         qx = sx - ox_org  # row-local query

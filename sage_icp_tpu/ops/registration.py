@@ -149,37 +149,44 @@ def register_frame(
     eye = jnp.eye(4, dtype=frame.dtype)
 
     if fast_params is not None:
-        # --- frozen-rows GN loop: the sort/probe/gather/relayout structure
-        # is built ONCE from source0; each iteration only re-applies the
-        # running increment to the (R, P) query grid and runs the fused NN
-        # kernel + normal equations (queries that cross a voxel boundary
-        # mid-solve are dropped for that pass — see CorrSetup docstring)
+        # --- anchored frozen-rows GN: the sort/probe/gather/relayout
+        # structure is built from the CURRENT pose (the "anchor"), and an
+        # inner loop iterates the fused GN step against those frozen rows.
+        # When the accumulated increment drifts beyond a fraction of a
+        # voxel from the anchor — where the +-1-voxel mover shell starts
+        # losing correspondences — the OUTER loop re-anchors: rebuilds the
+        # correspondence structure at the new pose and continues. The
+        # reference re-searches every iteration (Registration.cpp:127-138);
+        # this is the same semantics amortized: one setup per anchor, with
+        # the common case (guess within a few cm, increments millimetric
+        # after iteration 1) paying for exactly one setup, and hard cases
+        # (sharp turns, deskew-scale corrections of a meter-plus) paying
+        # one setup per ~voxel of correction instead of diverging. Round-3
+        # lesson: without re-anchoring, any correction larger than the
+        # mover shell silently truncated the constraint set and sharp
+        # maneuvers diverged (tests/test_robustness.py maneuver suite).
         from sage_icp_tpu.ops import correspondence_fast as cf
         from sage_icp_tpu.ops.scan import trunc_div
 
         if tables is None:
             center = trunc_div(initial_guess[:3, 3], voxel_size)
             tables = cf.build_probe_tables(map_state, center, probe_depth)
-        setup = cf.corr_setup(
-            map_state, tables, source0, valid, voxel_size, probe_depth,
-            **fast_params,
-        )
-        R, P, _ = setup.q0.shape
         mode = cf._pallas_mode()
+        R = fast_params["unique_voxel_rows"] + fast_params["overflow_rows"]
+        fused = mode != "off" and R % 128 == 0
+        # drift at which the inner loop yields back to the outer loop:
+        # conservative half of the 1-voxel mover shell, measured as the
+        # displacement of the anchor position plus the small-angle arc of
+        # the scan radius under the accumulated rotation
+        drift_lim = jnp.asarray(0.45 * voxel_size, frame.dtype)
+        r2 = jnp.sum(frame[:, :3] * frame[:, :3], axis=-1)
+        r_scan = jnp.sqrt(jnp.max(jnp.where(valid, r2, 0.0)))
 
-        def cond_f(carry):
-            _, it, last_norm, _ = carry
-            return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
-
-        if mode != "off" and R % 128 == 0:
-            # --- FULLY FUSED iteration: one Pallas kernel computes the
-            # transform, mover check, semantic NN, robust weights, and the
-            # normal-equation partials; XLA only assembles the 6x6 system,
-            # runs the unrolled Cholesky, and composes the increment
+        if fused:
             from sage_icp_tpu.ops import hashmap as hm_
             from sage_icp_tpu.ops import pallas_nn as pnn
 
-            K = setup.cxp.shape[1] // 27
+            K = map_state.points_per_voxel
             offs = (
                 jnp.repeat(hm_._NEIGHBOR_OFFSETS, K, axis=0).astype(
                     frame.dtype
@@ -187,57 +194,99 @@ def register_frame(
                 * voxel_size
             )
             scale = voxel_size / hm_.QSCALE
-            q0f = setup.q0.reshape(R, 4 * P)
-            row_abs = setup.row_rel + setup.center[None, :]
-            used_i = setup.grid_used.astype(jnp.int32)
 
-            def body_f(carry):
-                T_icp, it, _, _ = carry
-                sums = pnn.fused_gn_iteration(
-                    setup.cxp, setup.cyp, setup.czp, setup.clp,
-                    offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
-                    q0f, setup.row_origin_abs, row_abs, used_i, T_icp,
-                    sem_th, scale, voxel_size,
-                    max_correspondence_distance, kernel,
-                    interpret=(mode == "interpret"),
+        def anchor_drift(T_icp, anchor_pos):
+            # displacement of the vehicle position + rotation arc at the
+            # scan radius (T_icp acts in world frame, rotation about the
+            # world origin — measure its effect at the anchor, not at 0)
+            moved = T_icp[:3, :3] @ anchor_pos + T_icp[:3, 3] - anchor_pos
+            cos_t = jnp.clip((jnp.trace(T_icp[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+            theta = jnp.arccos(cos_t)
+            return jnp.linalg.norm(moved) + theta * r_scan
+
+        def outer_cond(carry):
+            pose, it, last_norm, _, _ = carry
+            return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
+
+        def outer_body(carry):
+            pose, it0, _, _, _ = carry
+            src_anchor = geo.transform_points(pose, frame)
+            setup = cf.corr_setup(
+                map_state, tables, src_anchor, valid, voxel_size,
+                probe_depth, **fast_params,
+            )
+            anchor_pos = pose[:3, 3]
+            if fused:
+                q0f = setup.q0.reshape(R, -1)
+                row_abs = setup.row_rel + setup.center[None, :]
+                used_i = setup.grid_used.astype(jnp.int32)
+
+            def inner_cond(carry):
+                _, it, last_norm, _, drift = carry
+                return (
+                    (it < max_iterations)
+                    & (last_norm >= ESTIMATION_THRESHOLD)
+                    & (drift < drift_lim)
                 )
-                JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
+
+            def inner_body(carry):
+                T_icp, it, _, _, _ = carry
+                if fused:
+                    sums = pnn.fused_gn_iteration(
+                        setup.cxp, setup.cyp, setup.czp, setup.clp,
+                        offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
+                        q0f, setup.row_origin_abs, row_abs, used_i, T_icp,
+                        sem_th, scale, voxel_size,
+                        max_correspondence_distance, kernel,
+                        interpret=(mode == "interpret"),
+                    )
+                    JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
+                else:
+                    src_g, tgt_g, acc_g = cf.corr_apply(
+                        setup, T_icp, voxel_size,
+                        max_correspondence_distance, sem_th,
+                    )
+                    JTJ, JTr = build_normal_equations(
+                        src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
+                        acc_g.reshape(-1), kernel,
+                    )
+                    # dtype pinned: under jax_enable_x64 a bare sum
+                    # promotes to int64 and breaks the while_loop carry
+                    ncorr = jnp.sum(acc_g, dtype=jnp.int32)
                 x = solve_increment(JTJ, JTr)
                 estimation = geo.se3_exp(x)
                 T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-                return T_icp, it + 1, jnp.linalg.norm(x), ncorr
-
-        else:
-
-            def body_f(carry):
-                T_icp, it, _, _ = carry
-                src_g, tgt_g, acc_g = cf.corr_apply(
-                    setup, T_icp, voxel_size, max_correspondence_distance,
-                    sem_th,
+                return (
+                    T_icp, it + 1, jnp.linalg.norm(x), ncorr,
+                    anchor_drift(T_icp, anchor_pos),
                 )
-                JTJ, JTr = build_normal_equations(
-                    src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
-                    acc_g.reshape(-1), kernel,
-                )
-                x = solve_increment(JTJ, JTr)
-                estimation = geo.se3_exp(x)
-                T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-                # dtype pinned: under jax_enable_x64 a bare sum promotes
-                # to int64 and breaks the while_loop carry
-                ncorr = jnp.sum(acc_g, dtype=jnp.int32)
-                return T_icp, it + 1, jnp.linalg.norm(x), ncorr
 
-        init = (
-            eye,
+            inner_init = (
+                eye,
+                it0,
+                jnp.asarray(jnp.inf, frame.dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0.0, frame.dtype),
+            )
+            T_icp, it, last_norm, ncorr, _ = jax.lax.while_loop(
+                inner_cond, inner_body, inner_init
+            )
+            new_pose = jnp.matmul(T_icp, pose, precision="highest")
+            return new_pose, it, last_norm, ncorr, setup.n_dropped
+
+        outer_init = (
+            initial_guess,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, frame.dtype),
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
         )
-        T_icp, iters, _, ncorr = jax.lax.while_loop(cond_f, body_f, init)
-        pose = jnp.matmul(T_icp, initial_guess, precision="highest")
+        pose, iters, _, ncorr, dropped = jax.lax.while_loop(
+            outer_cond, outer_body, outer_init
+        )
         return IcpResult(
             pose=pose, iterations=iters, num_correspondences=ncorr,
-            dropped_queries=setup.n_dropped,
+            dropped_queries=dropped,
         )
 
     def cond(carry):

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--date", type=str, default=None,
                     help="raw-KITTI date dir, e.g. 2011_09_26")
     ap.add_argument("--preset", type=str, default="kitti")
+    ap.add_argument("--world", choices=["city", "corridor"], default="city",
+                    help="synthetic world: 'city' (Manhattan grid, "
+                    "structure in all directions) or 'corridor' (single "
+                    "road — forward-degenerate for ICP odometry at longer "
+                    "runs; kept for experiments)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", type=str, default="results")
     ap.add_argument("--keyframes", action="store_true")
@@ -78,7 +83,14 @@ def main(argv=None):
         from sage_icp_tpu.utils import synthetic
 
         n = args.frames or 100
-        pts, labs = synthetic.build_world(seed=1, length=max(120.0, n * 1.2))
+        if args.world == "city":
+            pts, labs = synthetic.build_city_world(
+                seed=1, size=max(420.0, n * 1.2 + 220.0)
+            )
+        else:
+            pts, labs = synthetic.build_world(
+                seed=1, length=max(120.0, n * 1.2)
+            )
         gt = synthetic.make_trajectory(n, step=1.0)
         rng = np.random.default_rng(0)
         scans = (

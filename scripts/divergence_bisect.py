@@ -174,7 +174,10 @@ for i in range(n_frames):
     a = auxes[i]
     print(f"[{MODE}] frame{i}: t={np.round(tr[i][:3, 3], 3)} "
           f"err={err[i]:.3f} iters={it[i]} sigma={float(a.sigma):.3f} "
-          f"ncorr={int(a.num_correspondences)} nsrc={int(a.num_source)}",
+          f"ncorr={int(a.num_correspondences)} nsrc={int(a.num_source)} "
+          f"drop={int(a.corr_dropped)} claimf={int(a.insert_claim_failures)} "
+          f"uqovf={int(a.insert_unique_overflow)} "
+          f"inctr={int(a.insert_incoming_truncated)}",
           flush=True)
 print(f"[{MODE}] max_err={np.nanmax(err):.3f} "
       f"final_finite={bool(np.isfinite(tr[-1]).all())}")

@@ -21,9 +21,10 @@ def small_config(**kw):
         max_icp_iterations=100,
         dynamic_vehicle_filter=False,
         min_range=1.0,
-        # test-scale correspondence tiles (see test_parallel.tiny_config)
-        corr_unique_voxel_rows=1024,
-        corr_overflow_rows=256,
+        # row demand ~= num_source with the P=2 grid (most queries are
+        # alone in their 0.8 m voxel; see SageConfig.corr_unique_voxel_rows)
+        corr_unique_voxel_rows=4096,
+        corr_overflow_rows=512,
         insert_unique_capacity=4096,
     )
     defaults.update(kw)
@@ -66,6 +67,8 @@ def test_full_pipeline_tracks_synthetic_trajectory(base_run, world):
     # sanity: the map grew and ICP converged within iteration budget
     assert int(odom.last_aux.num_frame_ds) > 500
     assert int(odom.last_aux.icp_iterations) < 100
+    # a healthy config must not silently drop work
+    assert int(odom.last_aux.overflow_total()) == 0
 
 
 def test_geometric_preset_also_tracks(world):

@@ -29,8 +29,10 @@ def small_config(**kw):
         max_icp_iterations=100,
         dynamic_vehicle_filter=False,
         min_range=1.0,
-        corr_unique_voxel_rows=1024,
-        corr_overflow_rows=256,
+        # row demand ~= num_source with the P=2 grid (most queries are
+        # alone in their 0.8 m voxel; see SageConfig.corr_unique_voxel_rows)
+        corr_unique_voxel_rows=4096,
+        corr_overflow_rows=512,
         insert_unique_capacity=4096,
     )
     defaults.update(kw)
