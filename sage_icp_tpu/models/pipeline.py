@@ -30,6 +30,7 @@ Reference behaviors reproduced (file:line in /root/reference):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -603,7 +604,7 @@ def _quantize_scan_host(rows: np.ndarray, out: np.ndarray) -> None:
         ).astype(np.int16)
 
 
-def make_step_packed(config: SageConfig):
+def make_step_packed(config: SageConfig, donate: bool = True):
     """Single-upload step: (state, points) -> (state', pose, aux).
 
     The validity mask is derived on device from the pad sentinel
@@ -616,7 +617,7 @@ def make_step_packed(config: SageConfig):
         pts, valid, ts = _split_packed(points)
         return odometry_step(state, pts, valid, ts, config=config)
 
-    return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_chunk_step(config: SageConfig, chunk: int):
@@ -658,7 +659,10 @@ class SageICP:
         # dominates per-frame latency otherwise. Deskew rides a packed
         # 5th timestamp lane, so the packed path covers every config.
         self._packed = True
-        self._step = make_step_packed(config)
+        self._step = make_step_packed(
+            config,
+            donate=os.environ.get("SAGE_DONATE", "1") == "1",
+        )
         self.state = init_state(config)
         self.poses: list = []  # np or device arrays (see block=)
         self.timings: list[float] = []

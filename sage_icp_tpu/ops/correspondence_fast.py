@@ -117,7 +117,12 @@ def probe(
 
 def _pallas_mode() -> str:
     """Pick the fused-kernel mode for the current backend: compiled on
-    TPU, interpreter elsewhere (tests on the virtual CPU mesh)."""
+    TPU, interpreter elsewhere (tests on the virtual CPU mesh).
+    SAGE_PALLAS=off forces the pure-XLA paths (diagnostics)."""
+    import os
+
+    if os.environ.get("SAGE_PALLAS", "") == "off":
+        return "off"
     return "tpu" if jax.default_backend() == "tpu" else "interpret"
 
 

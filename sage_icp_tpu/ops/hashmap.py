@@ -532,8 +532,15 @@ def insert(
     # hashes) do at most a few policy rounds of trivial work — the XLA
     # while_loop path is cheap there and the packed kernel's per-segment
     # unrolling is not (see pallas_insert.apply_policy group cap)
+    import os as _os
+
     use_kernel = (
-        (U % 128 == 0 and kmax >= 8) if policy_kernel is None
+        (
+            U % 128 == 0
+            and kmax >= 8
+            and _os.environ.get("SAGE_PALLAS", "") != "off"
+        )
+        if policy_kernel is None
         else policy_kernel
     )
     # apply_policy tiles rows at rows_per_block and asserts divisibility:

@@ -150,12 +150,13 @@ def register_frame(
 
     if fast_params is not None:
         # --- anchored frozen-rows GN: the sort/probe/gather/relayout
-        # structure is built from the CURRENT pose (the "anchor"), and an
-        # inner loop iterates the fused GN step against those frozen rows.
-        # When the accumulated increment drifts beyond a fraction of a
-        # voxel from the anchor — where the +-1-voxel mover shell starts
-        # losing correspondences — the OUTER loop re-anchors: rebuilds the
-        # correspondence structure at the new pose and continues. The
+        # structure is built from the CURRENT pose (the "anchor") and
+        # rides the loop carry; each iteration runs the fused GN step
+        # against those frozen rows. When the accumulated increment
+        # drifts beyond a fraction of a voxel from the anchor — where the
+        # +-1-voxel mover shell starts losing correspondences — the body
+        # re-anchors under lax.cond: rebuilds the correspondence
+        # structure at the new pose and continues. The
         # reference re-searches every iteration (Registration.cpp:127-138);
         # this is the same semantics amortized: one setup per anchor, with
         # the common case (guess within a few cm, increments millimetric
@@ -204,89 +205,81 @@ def register_frame(
             theta = jnp.arccos(cos_t)
             return jnp.linalg.norm(moved) + theta * r_scan
 
-        def outer_cond(carry):
-            pose, it, last_norm, _, _ = carry
-            return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
-
-        def outer_body(carry):
-            pose, it0, _, _, _ = carry
+        def do_setup(pose):
             src_anchor = geo.transform_points(pose, frame)
-            setup = cf.corr_setup(
+            return cf.corr_setup(
                 map_state, tables, src_anchor, valid, voxel_size,
                 probe_depth, **fast_params,
             )
-            anchor_pos = pose[:3, 3]
+
+        # ONE flat while_loop over GN iterations; the frozen correspondence
+        # structure rides the carry and is rebuilt under lax.cond whenever
+        # the accumulated increment has drifted past the mover shell
+        def cond_f(carry):
+            _, _, _, it, last_norm, _, _ = carry
+            return (it < max_iterations) & (last_norm >= ESTIMATION_THRESHOLD)
+
+        def body_f(carry):
+            anchor, T_icp, setup, it, last_norm, _, drift = carry
+            def reanchor(a, T, s):
+                na = jnp.matmul(T, a, precision="highest")
+                return na, eye, do_setup(na)
+
+            anchor, T_icp, setup = jax.lax.cond(
+                drift >= drift_lim,
+                reanchor,
+                lambda a, T, s: (a, T, s),
+                anchor, T_icp, setup,
+            )
             if fused:
                 q0f = setup.q0.reshape(R, -1)
                 row_abs = setup.row_rel + setup.center[None, :]
                 used_i = setup.grid_used.astype(jnp.int32)
-
-            def inner_cond(carry):
-                _, it, last_norm, _, drift = carry
-                return (
-                    (it < max_iterations)
-                    & (last_norm >= ESTIMATION_THRESHOLD)
-                    & (drift < drift_lim)
+                sums = pnn.fused_gn_iteration(
+                    setup.cxp, setup.cyp, setup.czp, setup.clp,
+                    offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
+                    q0f, setup.row_origin_abs, row_abs, used_i, T_icp,
+                    sem_th, scale, voxel_size,
+                    max_correspondence_distance, kernel,
+                    interpret=(mode == "interpret"),
                 )
-
-            def inner_body(carry):
-                T_icp, it, _, _, _ = carry
-                if fused:
-                    sums = pnn.fused_gn_iteration(
-                        setup.cxp, setup.cyp, setup.czp, setup.clp,
-                        offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
-                        q0f, setup.row_origin_abs, row_abs, used_i, T_icp,
-                        sem_th, scale, voxel_size,
-                        max_correspondence_distance, kernel,
-                        interpret=(mode == "interpret"),
-                    )
-                    JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
-                else:
-                    src_g, tgt_g, acc_g = cf.corr_apply(
-                        setup, T_icp, voxel_size,
-                        max_correspondence_distance, sem_th,
-                    )
-                    JTJ, JTr = build_normal_equations(
-                        src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
-                        acc_g.reshape(-1), kernel,
-                    )
-                    # dtype pinned: under jax_enable_x64 a bare sum
-                    # promotes to int64 and breaks the while_loop carry
-                    ncorr = jnp.sum(acc_g, dtype=jnp.int32)
-                x = solve_increment(JTJ, JTr)
-                estimation = geo.se3_exp(x)
-                T_icp = jnp.matmul(estimation, T_icp, precision="highest")
-                return (
-                    T_icp, it + 1, jnp.linalg.norm(x), ncorr,
-                    anchor_drift(T_icp, anchor_pos),
+                JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
+            else:
+                src_g, tgt_g, acc_g = cf.corr_apply(
+                    setup, T_icp, voxel_size,
+                    max_correspondence_distance, sem_th,
                 )
-
-            inner_init = (
-                eye,
-                it0,
-                jnp.asarray(jnp.inf, frame.dtype),
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(0.0, frame.dtype),
+                JTJ, JTr = build_normal_equations(
+                    src_g.reshape(-1, 4), tgt_g.reshape(-1, 4),
+                    acc_g.reshape(-1), kernel,
+                )
+                # dtype pinned: under jax_enable_x64 a bare sum promotes
+                # to int64 and breaks the while_loop carry
+                ncorr = jnp.sum(acc_g, dtype=jnp.int32)
+            x = solve_increment(JTJ, JTr)
+            estimation = geo.se3_exp(x)
+            T_icp = jnp.matmul(estimation, T_icp, precision="highest")
+            return (
+                anchor, T_icp, setup, it + 1, jnp.linalg.norm(x), ncorr,
+                anchor_drift(T_icp, anchor[:3, 3]),
             )
-            T_icp, it, last_norm, ncorr, _ = jax.lax.while_loop(
-                inner_cond, inner_body, inner_init
-            )
-            new_pose = jnp.matmul(T_icp, pose, precision="highest")
-            return new_pose, it, last_norm, ncorr, setup.n_dropped
 
-        outer_init = (
+        init = (
             initial_guess,
+            eye,
+            do_setup(initial_guess),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, frame.dtype),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, frame.dtype),
         )
-        pose, iters, _, ncorr, dropped = jax.lax.while_loop(
-            outer_cond, outer_body, outer_init
+        anchor, T_icp, setup, iters, _, ncorr, _ = jax.lax.while_loop(
+            cond_f, body_f, init
         )
+        pose = jnp.matmul(T_icp, anchor, precision="highest")
         return IcpResult(
             pose=pose, iterations=iters, num_correspondences=ncorr,
-            dropped_queries=dropped,
+            dropped_queries=setup.n_dropped,
         )
 
     def cond(carry):

@@ -11,6 +11,12 @@ silently move the answer between rounds.
 import os
 import sys
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # the env var is shadowed by
+# this environment's sitecustomize — force CPU like tests/conftest.py
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
+
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
