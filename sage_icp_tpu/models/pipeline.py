@@ -622,14 +622,18 @@ def make_step_packed(config: SageConfig, donate: bool = True):
 
 def make_chunk_step(config: SageConfig, chunk: int):
     """Offline-throughput step: (state, scans (W, cap, 4|5)) ->
-    (state', poses (W, 4, 4), (iterations (W,), aux-of-last)). One upload
+    (state', poses (W, 4, 4), (iterations (W,), aux)). One upload
     and one dispatch drive W sequential frames via lax.scan — the
     per-frame remote-dispatch overhead (~10-30 ms through the tunnel) is
     amortized W-fold. Frame semantics are identical to W single steps
     (the scan carries the state). Deskew rides the packed 5th lane.
     Per-frame ICP iteration counts are returned for the whole chunk so
-    time.txt can carry a real per-frame ICP estimate (the rest of aux is
-    last-frame only)."""
+    time.txt can carry a real per-frame ICP estimate. The returned aux
+    AGGREGATES across the chunk: overflow counters are SUMMED over the W
+    frames (a transient mid-chunk overflow must trip the bench honesty
+    guard, VERDICT r3 weak #5), occupancy stats (num_source/num_frame_ds)
+    take the chunk MAX (they feed capacity-headroom asserts), and
+    sigma/iterations/num_correspondences report the last frame."""
 
     def fn(state, scans):
         def body(st, pts):
@@ -638,10 +642,23 @@ def make_chunk_step(config: SageConfig, chunk: int):
             return st2, (pose, aux)
 
         state, (poses, auxs) = jax.lax.scan(body, state, scans)
-        return (
-            state, poses,
-            (auxs.icp_iterations, jax.tree.map(lambda a: a[-1], auxs)),
+        agg = StepAux(
+            sigma=auxs.sigma[-1],
+            icp_iterations=auxs.icp_iterations[-1],
+            num_correspondences=auxs.num_correspondences[-1],
+            num_source=jnp.max(auxs.num_source),
+            num_frame_ds=jnp.max(auxs.num_frame_ds),
+            corr_dropped=jnp.sum(auxs.corr_dropped),
+            ds_truncated=jnp.sum(auxs.ds_truncated),
+            insert_unique_overflow=jnp.sum(auxs.insert_unique_overflow),
+            insert_claim_failures=jnp.sum(auxs.insert_claim_failures),
+            insert_incoming_truncated=jnp.sum(
+                auxs.insert_incoming_truncated
+            ),
+            dynfilter_overflow=jnp.sum(auxs.dynfilter_overflow),
+            nonfinite_pose=jnp.sum(auxs.nonfinite_pose),
         )
+        return state, poses, (auxs.icp_iterations, agg)
 
     return jax.jit(fn, donate_argnums=(0,))
 

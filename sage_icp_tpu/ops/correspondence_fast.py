@@ -136,11 +136,15 @@ class CorrSetup(NamedTuple):
     Row assignment is by the query's voxel at SETUP time. A query that
     crosses a voxel boundary during the solve ("mover") keeps matching
     against the setup row's 27-neighborhood as long as it stays within
-    ONE voxel of the setup voxel (its true NN remains inside the
-    gathered candidates for any gate < voxel_size — the same truncation
-    class as the reference's own 27-voxel search); only moves beyond the
-    neighbor shell are dropped for that iteration. See corr_apply for
-    why dropping all movers (rounds 1-2) destabilized the solve."""
+    ONE voxel of the setup voxel; only moves beyond the neighbor shell
+    are dropped for that iteration. The real invariant (the solver's
+    0.45*voxel re-anchor bounds drift, registration.py): candidate
+    coverage beyond the drifted query stays >= 0.55*voxel in every
+    direction, so only weak far-gate correspondences (beyond that
+    margin; the gate is 3*sigma) can be missed — the same truncation
+    class as the reference's own 27-voxel search, which also sees
+    nothing beyond its shell (VoxelHashMap.cpp:52-78). See corr_apply
+    for why dropping all movers (rounds 1-2) destabilized the solve."""
 
     cxp: jax.Array  # (R, M) int16 candidate x, OWN-voxel-local quantized
     cyp: jax.Array  # (R, M) int16

@@ -145,7 +145,6 @@ def register_frame(
     caller when passed in (the pipeline shares one build per step between
     the ICP solve and the map insert).
     """
-    source0 = geo.transform_points(initial_guess, frame)
     eye = jnp.eye(4, dtype=frame.dtype)
 
     if fast_params is not None:
@@ -281,6 +280,8 @@ def register_frame(
             pose=pose, iterations=iters, num_correspondences=ncorr,
             dropped_queries=setup.n_dropped,
         )
+
+    source0 = geo.transform_points(initial_guess, frame)
 
     def cond(carry):
         _, _, it, last_norm, _ = carry

@@ -1,11 +1,27 @@
-"""Reproduce bench phase-1 flow with per-chunk aux + pose diagnostics.
+"""Per-frame replay of bench.py phase 1 (the CITY preset) with pose-error
+and counter diagnostics — THE instrument for bench divergences.
 
-Mirrors bench.py exactly: per-frame warmup on frames [0, n_warmup), one
-chunked compile-warmup on [n_warmup, n_warmup+chunk), then timed chunks
-continuing the trajectory at n_warmup+chunk (the round-1 bench restarted
-the timed chunks at n_warmup, re-registering the warmup chunk and
-teleporting the vehicle backwards — keep this script in lockstep with
-bench.py's indexing or it will report divergences the bench doesn't have).
+Replays the exact phase-1 workload (build_city_world(seed=0, size=420,
+density=BENCH_DENSITY), make_trajectory(n_total, step=1.0),
+render_scan(n_target=120000)) frame by frame so every frame's error vs
+ground truth and overflow counters are visible. bench.py itself runs the
+same trajectory as 10 per-frame warmups + chunked lax.scan steps; frame
+semantics are identical (the scan carries the state), so a divergence
+here IS the bench divergence.
+
+Env knobs (bisect controls, VERDICT r3 missing #1):
+  REPRO_MODE = base     — as the bench runs it (fast path, Pallas on)
+               nofast   — use_fast_correspondences=False: the reference-
+                          shaped search (hashmap.get_correspondences ==
+                          VoxelHashMap.cpp:48-130) re-run every iteration
+               nopallas — fast path with the XLA einsum kernels
+  REPRO_CPU=1    force the CPU backend (default 1 — deterministic,
+                 no TPU contention; set 0 for the real chip)
+  REPRO_F64=1    run the normal equations + solve in f64
+  REPRO_FRAMES   total frames (default 100 = bench 10+30+60)
+  REPRO_DENSITY  city world density (default 0.7 = bench phase 1)
+  REPRO_PRESET   config preset (default "city")
+  REPRO_KPRESET  override preset for phase-2 style runs ("kitti")
 """
 import os
 import sys
@@ -15,45 +31,98 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import dataclasses
 
+MODE = os.environ.get("REPRO_MODE", "base")
+if os.environ.get("REPRO_F64", "0") == "1":
+    os.environ["JAX_ENABLE_X64"] = "1"
+import jax
+
+if os.environ.get("REPRO_CPU", "1") == "1":
+    jax.config.update("jax_platforms", "cpu")
+if os.environ.get("REPRO_F64", "0") == "1":
+    jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 from sage_icp_tpu.models import pipeline as pl
 from sage_icp_tpu.utils import synthetic
 
-n_warmup, n_frames, n_points, chunk = 10, 60, 120000, 30
-cfg = dataclasses.replace(pl.PRESETS["synthetic"], quantized_scan_upload=True)
-world = synthetic.build_world(seed=0, length=260.0, density=2.0)
-odom = pl.SageICP(cfg)
-world_pts, world_labs = world
-n_total = n_warmup + chunk + n_frames
-gt = synthetic.make_trajectory(n_total, step=1.0)
+if MODE == "nopallas" or os.environ.get("REPRO_F64", "0") == "1":
+    from sage_icp_tpu.ops import correspondence_fast as cf
+
+    cf._pallas_mode = lambda: "off"
+if os.environ.get("REPRO_F64", "0") == "1":
+    import jax.numpy as jnp
+
+    from sage_icp_tpu.ops import hashmap as hm
+    from sage_icp_tpu.ops import registration as reg
+
+    _orig_insert = hm.insert
+
+    def _patched(*a, **k):
+        k["policy_kernel"] = False
+        return _orig_insert(*a, **k)
+
+    hm.insert = _patched
+    pl.hm.insert = _patched
+    _orig_bne = reg.build_normal_equations
+    _orig_solve = reg.solve_increment
+
+    def _bne64(src, tgt, weight_mask, kernel):
+        return _orig_bne(
+            src.astype(jnp.float64), tgt.astype(jnp.float64), weight_mask,
+            jnp.asarray(kernel, jnp.float64),
+        )
+
+    def _solve64(JTJ, JTr):
+        return _orig_solve(
+            JTJ.astype(jnp.float64), JTr.astype(jnp.float64)
+        ).astype(jnp.float32)
+
+    reg.build_normal_equations = _bne64
+    reg.solve_increment = _solve64
+
+n_frames = int(os.environ.get("REPRO_FRAMES", "100"))
+cfg = dataclasses.replace(
+    pl.PRESETS[os.environ.get("REPRO_PRESET", "city")],
+    quantized_scan_upload=os.environ.get("REPRO_QUANT", "1") == "1",
+)
+if MODE == "nofast":
+    cfg = dataclasses.replace(cfg, use_fast_correspondences=False)
+
+world_pts, world_labs = synthetic.build_city_world(
+    seed=0, size=420.0,
+    density=float(os.environ.get("REPRO_DENSITY", "0.7")),
+)
+gt = synthetic.make_trajectory(n_frames, step=1.0)
 rng = np.random.default_rng(0)
-scans = [synthetic.render_scan(world_pts, world_labs, gt[i], rng,
-                               n_target=n_points, max_range=min(100.0, cfg.max_range))
-         for i in range(n_total)]
+scans = [
+    synthetic.render_scan(
+        world_pts, world_labs, gt[i], rng, n_target=120000,
+        max_range=min(100.0, cfg.max_range),
+    )
+    for i in range(n_frames)
+]
 
-
-def show(tag):
-    aux = odom.last_aux
-    tr = odom.trajectory()
-    print(tag, "pose_t:", np.round(tr[-1][:3, 3], 2),
-          "finite:", bool(np.isfinite(tr[-1]).all()),
-          "iters:", int(aux.icp_iterations),
-          "ncorr:", int(aux.num_correspondences),
-          "nsrc:", int(aux.num_source), "nds:", int(aux.num_frame_ds),
-          "corr_drop:", int(aux.corr_dropped),
-          "inc_trunc:", int(aux.insert_incoming_truncated),
-          "uniq_ovf:", int(aux.insert_unique_overflow),
-          "claim_fail:", int(aux.insert_claim_failures), flush=True)
-
-
-for i in range(n_warmup):
+odom = pl.SageICP(cfg)
+auxes = []
+for i in range(n_frames):
     odom.register_frame(scans[i])
-    show(f"warm{i}")
+    auxes.append(odom.last_aux)
+    a = auxes[-1]
+    t = np.asarray(odom.poses[-1])[:3, 3]
+    err = np.linalg.norm(t - gt[i][:3, 3])
+    print(
+        f"[{MODE}] f{i:03d}: t={np.round(t, 3)} err={err:.3f} "
+        f"iters={int(a.icp_iterations)} sigma={float(a.sigma):.3f} "
+        f"ncorr={int(a.num_correspondences)} nsrc={int(a.num_source)} "
+        f"drop={int(a.corr_dropped)} claimf={int(a.insert_claim_failures)} "
+        f"uqovf={int(a.insert_unique_overflow)} "
+        f"inctr={int(a.insert_incoming_truncated)} "
+        f"nonfin={int(a.nonfinite_pose)}",
+        flush=True,
+    )
 
-odom.register_chunk(scans[n_warmup:n_warmup + chunk])
-show("chunk-warm")
-
-for s in range(n_warmup + chunk, n_warmup + chunk + n_frames, chunk):
-    odom.register_chunk(odom.pad_chunk(scans[s:s + chunk]))
-    show(f"chunk@{s}")
+tr = odom.trajectory()
+err = np.linalg.norm(tr[:, :3, 3] - gt[:, :3, 3], axis=1)
+print(f"[{MODE}] max_err={np.nanmax(err):.3f} "
+      f"final_finite={bool(np.isfinite(tr[-1]).all())}")

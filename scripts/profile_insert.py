@@ -124,7 +124,7 @@ def main():
         def claim_round(d, carry):
             slot_u, taken = carry
             unresolved = need_claim & (slot_u < 0)
-            s = (h + d) & (capC - 1)
+            s = (h + hm.probe_offset(d)) & (capC - 1)
             eligible = unresolved & ~taken[s]
             claim = jnp.full((capC,), jnp.iinfo(jnp.int32).max, jnp.int32)
             claim = claim.at[jnp.where(eligible, s, capC)].min(

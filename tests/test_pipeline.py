@@ -136,6 +136,52 @@ def test_chunked_step_matches_single_frames(world):
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-5)
 
 
+def test_chunked_aux_catches_mid_chunk_overflow():
+    """The chunked step's aux must AGGREGATE counters over the lax.scan:
+    an overflow on a MIDDLE frame that self-heals by the last frame was
+    invisible when aux reported frame W-1 only (VERDICT r3 weak #5 — the
+    bench honesty guard inspected 1 frame in 30)."""
+
+    def patch_scan(seed):
+        # ~500 points in a 3 m patch: a handful of source voxels, far
+        # under the 64-row correspondence grid below
+        rng = np.random.default_rng(seed)
+        xyz = np.stack(
+            [
+                rng.uniform(4.0, 7.0, 500),
+                rng.uniform(-1.5, 1.5, 500),
+                rng.uniform(0.0, 1.0, 500),
+            ],
+            axis=1,
+        )
+        lab = np.full((500, 1), 40.0)
+        return np.concatenate([xyz, lab], 1).astype(np.float32)
+
+    rng = np.random.default_rng(2)
+    wide = np.concatenate(
+        [
+            rng.uniform(-50.0, 50.0, (3000, 3)),
+            np.full((3000, 1), 40.0),
+        ],
+        axis=1,
+    ).astype(np.float32)  # thousands of unique source voxels
+
+    cfg = small_config(corr_unique_voxel_rows=64, corr_overflow_rows=32)
+    scans = [patch_scan(0), wide, patch_scan(1)]
+
+    chunked = pl.SageICP(cfg)
+    chunked.register_chunk(scans)
+    assert int(chunked.last_aux.corr_dropped) > 0
+    assert int(chunked.last_aux.overflow_total()) > 0
+
+    # the same frames per-frame: the LAST frame alone reports clean —
+    # proving last-frame-only aux would have masked the mid-chunk drop
+    per_frame = pl.SageICP(cfg)
+    for s in scans:
+        per_frame.register_frame(s)
+    assert int(per_frame.last_aux.corr_dropped) == 0
+
+
 def test_quantized_upload_matches_f32(world):
     """int16 scan upload (3.9 mm xyz quantization) must track the f32
     path within quantization noise — it halves the serial host->device
