@@ -17,11 +17,13 @@ reference algorithm itself diverges on it, scripts/divergence_bisect.py):
     deployment, like sizing for a known sensor); ~12k live map voxels,
     ~7k ICP sources per frame.
   * kitti_scale_scans_per_sec — the PRODUCTION "kitti" preset (262,144
-    map slots, 135k scan capacity) at density 2.0, whose per-frame
-    point counts match the real KITTI steady state (raw ~74k, frame
-    downsample ~53k, sources ~15k; live map reaches ~33k voxels over 60
-    frames vs KITTI's ~50-100k — the synthetic thinning is harsher at
-    range). This is the honest number for "KITTI steady state".
+    map slots, 135k scan capacity) at density 1.8, whose per-frame
+    point counts match the real KITTI steady state (in-range raw ~78k,
+    frame downsample ~55k vs KITTI ~53k, sources ~17k; live map reaches
+    ~35k voxels over 60 frames vs KITTI's ~50-100k — the synthetic
+    thinning is harsher at range). This is the honest number for
+    "KITTI steady state". (Density recalibrated from 2.0 when the
+    round-4 street furniture landed, scripts/world_occupancy.py.)
 
 Every phase asserts the per-frame overflow counters (StepAux) are zero —
 a fixed-shape pipeline must not silently truncate its workload.
@@ -107,7 +109,8 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
         f"claim_failures={int(aux.insert_claim_failures)} "
         f"incoming_truncated={int(aux.insert_incoming_truncated)} "
         f"dynfilter_overflow={int(aux.dynfilter_overflow)} "
-        f"nonfinite_pose={int(aux.nonfinite_pose)}"
+        f"nonfinite_pose={int(aux.nonfinite_pose)} "
+        f"icp_rejected={int(aux.icp_rejected)}"
     )
     n_map_voxels = int(np.asarray((odom.state.map.counts > 0).sum()))
     return scans_per_sec, n_map_voxels
@@ -151,7 +154,7 @@ def main():
         )
         kworld = synthetic.build_city_world(
             seed=0, size=420.0,
-            density=float(os.environ.get("BENCH_KITTI_DENSITY", "2")),
+            density=float(os.environ.get("BENCH_KITTI_DENSITY", "1.8")),
         )
         kitti_sps, kitti_nvox = run_phase(
             kcfg, kworld, n_warmup,

@@ -214,8 +214,9 @@ PRESETS = {
     # on it identically, scripts/divergence_bisect.py), so the bench runs
     # on the city world, whose structure constrains all six DoF.
     # Capacities from measured occupancy (scripts/world_occupancy.py,
-    # d=0.7: raw 10.2k, ds1 9.9k, src 7.0k, unique src voxels 6.8k,
-    # insert voxels 9.0k, live map 12.7k) x 1.3-5 margin.
+    # d=0.7 on the furnished round-4 world: raw 12.5k, ds1 11.7k, src
+    # 7.4k, unique src voxels 7.1k, insert voxels 9.7k, live map 14.0k)
+    # x 1.1-4 margin.
     "city": SageConfig(
         dynamic_vehicle_filter=False,
         min_range=2.0,
@@ -223,7 +224,7 @@ PRESETS = {
         frame_capacity=16_384,
         source_capacity=8_192,
         map_capacity=65_536,
-        insert_unique_capacity=9_984,  # 3 * 256 * 13: packed policy rows
+        insert_unique_capacity=11_520,  # 3 * 256 * 15: packed policy rows
         corr_unique_voxel_rows=8_192,
         corr_overflow_rows=512,
     ),
@@ -277,6 +278,11 @@ class StepAux(NamedTuple):
     nonfinite_pose: jax.Array  # 1 iff ICP returned a non-finite pose this
     #   frame (singular geometry / teleported input); the step then falls
     #   back to the motion-model guess so the map is never NaN-polluted
+    icp_rejected: jax.Array  # 1 iff a FINITE solve was rejected because
+    #   its correspondence count collapsed below the health floor (a lost
+    #   frame: garbage scan, teleport, or an out-of-basin guess). The step
+    #   coasts on the motion model and skips the map insert so one bad
+    #   frame cannot poison the map or the carried pose (VERDICT r3 #3)
 
     def overflow_total(self):
         """Sum of every silent-drop channel — assert == 0 in benchmarks."""
@@ -284,7 +290,7 @@ class StepAux(NamedTuple):
             self.corr_dropped + self.ds_truncated
             + self.insert_unique_overflow + self.insert_claim_failures
             + self.insert_incoming_truncated + self.dynfilter_overflow
-            + self.nonfinite_pose
+            + self.nonfinite_pose + self.icp_rejected
         )
 
 
@@ -435,6 +441,14 @@ def odometry_step(
         eye,
         geo.se3_inverse(state.prev_pose) @ state.last_pose,
     )
+    # Teleport clamp: a constant-velocity prediction larger than the sensor
+    # range is never physical (10 Hz LiDAR at max_range m/frame = 3600 km/h)
+    # — it means the carried poses are corrupted. Coast in place instead of
+    # extrapolating: unbounded extrapolation is exactly how a lost run
+    # overflowed f32 and latched NaN (round-4 bisect, frames 27-30; the
+    # NaN-pred comparison is False, so NaN also falls back to eye).
+    pred_ok = jnp.linalg.norm(prediction[:3, 3]) <= config.max_range
+    prediction = jnp.where(pred_ok, prediction, eye)
     last = jnp.where(state.num_poses > 0, state.last_pose, eye)
     initial_guess = jnp.matmul(last, prediction, precision="highest")
 
@@ -480,14 +494,27 @@ def odometry_step(
         fast_params=fast_params,
         tables=shared_tables,
     )
-    # Non-finite guard: Gauss-Newton on singular geometry (or a teleported
-    # input) can overflow se3_exp and return an inf/NaN pose. The reference
-    # leaves this undefined; here the step falls back to the motion-model
-    # guess so the map is never polluted with NaN keys (a NaN voxel key
-    # would poison sort/probe for the rest of the run). Surfaced in
-    # StepAux.nonfinite_pose, which rides overflow_total().
+    # Solve-health guard (VERDICT r3 #3). Two failure signatures:
+    #   * non-finite pose — Gauss-Newton on singular geometry or a
+    #     teleported input can overflow se3_exp (reference leaves this
+    #     undefined);
+    #   * correspondence collapse — a FINITE solve that matched almost
+    #     nothing (garbage scan, out-of-basin guess) is a fit to noise;
+    #     accepting it corrupts the carried pose and, worse, inserts a
+    #     misregistered frame into the map, which is how one bad frame
+    #     snowballed into NaN by frame 30 on the round-3 bench workload.
+    # On either: coast on the motion-model guess AND skip this frame's map
+    # insert, so a single bad frame costs one frame, not the sequence.
+    # initial_guess is always finite (poses stay finite by induction and
+    # the teleport clamp above bounds the prediction), so the fallback
+    # cannot latch. Both signatures ride overflow_total().
+    num_source = jnp.sum(source_valid.astype(jnp.int32))
     pose_ok = jnp.all(jnp.isfinite(icp.pose))
-    new_pose = jnp.where(pose_ok, icp.pose, initial_guess)
+    corr_floor = num_source // 20  # 5% of valid sources
+    corr_ok = icp.num_correspondences >= corr_floor
+    # frame 0 legitimately has zero correspondences (empty map)
+    healthy = pose_ok & ((state.num_poses == 0) | corr_ok)
+    new_pose = jnp.where(healthy, icp.pose, initial_guess)
 
     # --- threshold deviation + map update ---------------------------------------
     model_deviation = jnp.matmul(
@@ -496,10 +523,13 @@ def odometry_step(
     thr = ThresholdState(model_deviation, thr.sse, thr.num_samples)
 
     world_frame = geo.transform_points(new_pose, frame_ds)
+    # an unhealthy frame's points are NOT inserted (mask them out): the
+    # pose is a guess, and a misregistered insert poisons every future
+    # frame's correspondences
     new_map, ins_stats = hm.insert(
         state.map,
         world_frame,
-        frame_valid,
+        frame_valid & healthy,
         config.voxel_size_map,
         config.basic_points_per_voxel,
         _basic_label_mask(config),
@@ -526,7 +556,7 @@ def odometry_step(
         sigma=sigma,
         icp_iterations=icp.iterations,
         num_correspondences=icp.num_correspondences,
-        num_source=jnp.sum(source_valid.astype(jnp.int32)),
+        num_source=num_source,
         num_frame_ds=jnp.sum(frame_valid.astype(jnp.int32)),
         corr_dropped=icp.dropped_queries,
         ds_truncated=ds_trunc,
@@ -535,6 +565,7 @@ def odometry_step(
         insert_incoming_truncated=ins_stats.incoming_truncated,
         dynfilter_overflow=dyn_overflow,
         nonfinite_pose=(~pose_ok).astype(jnp.int32),
+        icp_rejected=(pose_ok & ~healthy).astype(jnp.int32),
     )
     return new_state, new_pose, aux
 
@@ -657,6 +688,7 @@ def make_chunk_step(config: SageConfig, chunk: int):
             ),
             dynfilter_overflow=jnp.sum(auxs.dynfilter_overflow),
             nonfinite_pose=jnp.sum(auxs.nonfinite_pose),
+            icp_rejected=jnp.sum(auxs.icp_rejected),
         )
         return state, poses, (auxs.icp_iterations, agg)
 

@@ -166,7 +166,19 @@ def build_city_world(
     local-map disc, so the live map under the 100 m cull reaches the
     50-100k-voxel KITTI steady state (reference map scale,
     core/VoxelHashMap.cpp:176-184) instead of underfilling it. Returns
-    (points (M, 3) f32, labels (M,) i32); trajectory runs along y=0."""
+    (points (M, 3) f32, labels (M,) i32).
+
+    The road grid is CENTERED ON THE ORIGIN: road centerlines run along
+    x=0/y=0 (and every `block` meters outward), so test/bench trajectories
+    that start at the origin and drive along an axis (make_trajectory,
+    make_maneuver_trajectory) travel on actual road surface with building
+    facades flanking them — like the KITTI drives the reference replays.
+    Through round 3 the edges were anchored at -size/2 instead, which put
+    NO road at y=0: the bench vehicle drove through building-block
+    interiors (no ground beneath it) and pierced a solid facade wall at
+    x=22.5 — the reference-exact correspondence search diverges on that
+    unphysical workload exactly like the fast path (scripts/bench_debug.py
+    REPRO_MODE=nofast, round-4 bisect; see docs/ARCHITECTURE.md)."""
     rng = np.random.default_rng(seed)
     pts, labs = [], []
     inv_d = 1.0 / float(density)
@@ -191,7 +203,17 @@ def build_city_world(
         pts.append(p)
         labs.append(np.full(n, label, dtype=np.int32))
 
-    def wall_x(x0, x1, y, z1, step, label):
+    # Facade relief: real building fronts are NOT smooth planes — window
+    # reveals / pilasters give them structure ALONG the wall. Without it a
+    # block-long facade constrains only its normal direction and point-to-
+    # point ICP can slide along the street canyon (the corridor-world
+    # degeneracy all over again — round-4 bisect: the reference-exact
+    # search diverges mid-canyon exactly like the fast path). 3 m window
+    # bays alternating 0.3 m deep, phase-shifted per floor.
+    def _relief(along, z):
+        return 0.3 * (((np.floor(along / 3.0) + np.floor(z / 2.6)) % 2.0))
+
+    def wall_x(x0, x1, y, z1, step, label, sign=1.0):
         step = step * inv_d
         xs = np.arange(x0, x1, step)
         zs = np.arange(0.0, z1, step)
@@ -199,14 +221,15 @@ def build_city_world(
             return
         X, Z = np.meshgrid(xs, zs)
         n = X.size
+        yy = y + sign * _relief(X.ravel(), Z.ravel())
         p = np.stack(
-            [X.ravel(), np.full(n, y) + rng.normal(0, 0.03, n), Z.ravel()],
+            [X.ravel(), yy + rng.normal(0, 0.03, n), Z.ravel()],
             axis=1,
         )
         pts.append(p)
         labs.append(np.full(n, BUILDING, dtype=np.int32))
 
-    def wall_y(y0, y1, x, z1, step, label):
+    def wall_y(y0, y1, x, z1, step, label, sign=1.0):
         step = step * inv_d
         ys = np.arange(y0, y1, step)
         zs = np.arange(0.0, z1, step)
@@ -214,16 +237,64 @@ def build_city_world(
             return
         Y, Z = np.meshgrid(ys, zs)
         n = Y.size
+        xx = x + sign * _relief(Y.ravel(), Z.ravel())
         p = np.stack(
-            [np.full(n, x) + rng.normal(0, 0.03, n), Y.ravel(), Z.ravel()],
+            [xx + rng.normal(0, 0.03, n), Y.ravel(), Z.ravel()],
             axis=1,
         )
         pts.append(p)
         labs.append(np.full(n, BUILDING, dtype=np.int32))
 
+    def parked_car(cx, cy, along_x=True):
+        """A car-sized box (roof + 4 sides) — unlike a floating roof slab,
+        its vertical faces anchor the along-road direction."""
+        L, W, H = 4.2, 1.7, 1.45
+        dx, dy = (L, W) if along_x else (W, L)
+        x0, x1 = cx - dx / 2, cx + dx / 2
+        y0, y1 = cy - dy / 2, cy + dy / 2
+        step = 0.22 * inv_d
+        slab(x0, x1, y0, y1, H, 0.22, CAR, jitter=0.02, zjit=0.02)
+        zs = np.arange(0.25, H, step)
+        for yy, xs in ((y0, None), (y1, None)):
+            xv = np.arange(x0, x1, step)
+            X, Z = np.meshgrid(xv, zs)
+            n = X.size
+            if n:
+                pts.append(np.stack(
+                    [X.ravel(), np.full(n, yy) + rng.normal(0, 0.02, n),
+                     Z.ravel()], axis=1))
+                labs.append(np.full(n, CAR, dtype=np.int32))
+        for xx in (x0, x1):
+            yv = np.arange(y0, y1, step)
+            Y, Z = np.meshgrid(yv, zs)
+            n = Y.size
+            if n:
+                pts.append(np.stack(
+                    [np.full(n, xx) + rng.normal(0, 0.02, n), Y.ravel(),
+                     Z.ravel()], axis=1))
+                labs.append(np.full(n, CAR, dtype=np.int32))
+
+    def tree(cx, cy):
+        """Street tree: trunk points + a canopy blob — the classic
+        high-information landmark in urban LiDAR."""
+        zs = np.arange(0.0, 2.6, 0.13 * inv_d)
+        n = len(zs)
+        if n:
+            pts.append(np.stack(
+                [np.full(n, cx) + rng.normal(0, 0.02, n),
+                 np.full(n, cy) + rng.normal(0, 0.02, n), zs], axis=1))
+            labs.append(np.full(n, TRUNK, dtype=np.int32))
+        m = max(int(60 / inv_d**2), 15)
+        pts.append(np.stack(
+            [cx + rng.normal(0, 0.9, m), cy + rng.normal(0, 0.9, m),
+             3.4 + rng.normal(0, 0.7, m)], axis=1))
+        labs.append(np.full(m, VEGETATION, dtype=np.int32))
+
     road_half = 5.0
     walk = 2.5
-    edges = np.arange(-half, half + 1.0, block)
+    # road centerlines at 0, +-block, +-2*block, ... (origin-centered grid)
+    n_edges = int(half // block)
+    edges = np.arange(-n_edges, n_edges + 1, dtype=np.float64) * block
     # road strips (both axes) + sidewalks alongside
     for e in edges:
         slab(-half, half, e - road_half, e + road_half, 0.0, 0.5, ROAD)
@@ -241,10 +312,11 @@ def build_city_world(
             if x1 - x0 < 4 or y1 - y0 < 4:
                 continue
             h = 5.0 + (rng.integers(0, 4)) * 2.0
-            wall_x(x0, x1, y0, h, 0.5, BUILDING)
-            wall_x(x0, x1, y1, h, 0.5, BUILDING)
-            wall_y(y0, y1, x0, h, 0.5, BUILDING)
-            wall_y(y0, y1, x1, h, 0.5, BUILDING)
+            # relief recesses point INTO the block (away from the street)
+            wall_x(x0, x1, y0, h, 0.5, BUILDING, sign=1.0)
+            wall_x(x0, x1, y1, h, 0.5, BUILDING, sign=-1.0)
+            wall_y(y0, y1, x0, h, 0.5, BUILDING, sign=1.0)
+            wall_y(y0, y1, x1, h, 0.5, BUILDING, sign=-1.0)
             # sparse vegetation inside the block (visible over low walls)
             n = 150
             p = np.stack(
@@ -257,7 +329,11 @@ def build_city_world(
             )
             pts.append(p)
             labs.append(np.full(n, VEGETATION, dtype=np.int32))
-    # poles at intersections + parked cars along roads
+    # street furniture along every road — poles, parked cars (full boxes,
+    # alternating sides), sidewalk trees. These are the continuous along-
+    # road landmarks real urban LiDAR has; without them the street canyons
+    # between intersections are forward/yaw-degenerate for point-to-point
+    # ICP (round-4 finding, docs/ARCHITECTURE.md).
     for e in edges:
         for x in np.arange(-half + 10, half, 35.0):
             zs = np.arange(0, 4.0, 0.12)
@@ -272,8 +348,14 @@ def build_city_world(
             )
             pts.append(p)
             labs.append(np.full(n, POLE, dtype=np.int32))
-        for x in np.arange(-half + 18, half, 45.0):
-            slab(x, x + 4.2, e + 3.4, e + 4.9, 0.8, 0.22, CAR)
+        for i, x in enumerate(np.arange(-half + 9.0, half - 4.0, 27.0)):
+            parked_car(x, e + (4.1 if i % 2 == 0 else -4.1), along_x=True)
+        for i, y in enumerate(np.arange(-half + 9.0, half - 4.0, 27.0)):
+            parked_car(e + (4.1 if i % 2 == 1 else -4.1), y, along_x=False)
+        for i, x in enumerate(np.arange(-half + 5.0, half, 16.0)):
+            tree(x, e + (6.9 if i % 2 == 0 else -6.9))
+        for i, y in enumerate(np.arange(-half + 5.0, half, 16.0)):
+            tree(e + (6.9 if i % 2 == 1 else -6.9), y)
     points = np.concatenate(pts).astype(np.float32)
     labels = np.concatenate(labs)
     return points, labels
@@ -282,13 +364,16 @@ def build_city_world(
 def make_trajectory(
     n_frames: int,
     step: float = 1.0,
-    curve: float = 0.0015,
+    curve: float = 0.0005,
     accel_frames: int = 6,
 ):
     """Ground-truth 4x4 poses: accelerate from standstill to `step` m/frame
     over `accel_frames` (like a real drive — the constant-velocity
     prediction then keeps the ICP initial guess close), then cruise with a
-    gentle yaw curve. Sensor at z = 1.8."""
+    gentle yaw curve. Sensor at z = 1.8. The default curve keeps the
+    vehicle inside its 5 m road half-width for ~130 frames on the origin-
+    centered city grid (y ~= curve/2 * x^2): a lane-keeping drift, not a
+    lane departure."""
     poses = []
     x, y, yaw = 0.0, 0.0, 0.0
     for i in range(n_frames):

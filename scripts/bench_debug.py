@@ -118,7 +118,7 @@ for i in range(n_frames):
         f"drop={int(a.corr_dropped)} claimf={int(a.insert_claim_failures)} "
         f"uqovf={int(a.insert_unique_overflow)} "
         f"inctr={int(a.insert_incoming_truncated)} "
-        f"nonfin={int(a.nonfinite_pose)}",
+        f"nonfin={int(a.nonfinite_pose)} rej={int(a.icp_rejected)}",
         flush=True,
     )
 

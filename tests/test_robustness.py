@@ -132,6 +132,39 @@ def test_overflow_counters_fire_when_undersized(city):
     assert int(odom2.last_aux.overflow_total()) == 0
 
 
+def test_recovers_from_garbage_scan_mid_sequence(city):
+    """One corrupted scan (every point lifted 25 m — a sensor glitch /
+    teleport) must cost ONE frame, not the sequence: the solve-health
+    guard rejects the collapsed solve, coasts on the motion model, skips
+    the map insert, and the next healthy scan re-locks immediately.
+    (Round-3 failure mode: the bad frame's pose fed back through the
+    prediction and the map insert, compounding ~2x per frame to NaN by
+    frame 30. The reference's only recovery is the manual reinit service,
+    OdometryServer.cpp:259-296 — this beats it.)"""
+    gt = synthetic.make_trajectory(10, step=1.0)
+    pts, labs = city
+    rng = np.random.default_rng(3)
+    odom = pl.SageICP(small_config())
+    rejected_at = []
+    for i in range(len(gt)):
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=9000)
+        if i == 5:
+            scan = scan.copy()
+            scan[:, 2] += 25.0  # nothing can match the map
+        odom.register_frame(scan)
+        a = odom.last_aux
+        if int(a.icp_rejected) or int(a.nonfinite_pose):
+            rejected_at.append(i)
+    est = np.stack([np.asarray(p) for p in odom.poses])
+    assert np.isfinite(est).all(), "poses went non-finite"
+    assert rejected_at == [5], f"guard fired at {rejected_at}, expected [5]"
+    # the garbage frame coasts on the motion model (correct to ~cm here),
+    # and the frames after it must track ground truth again
+    for i in (6, 7, 8, 9):
+        err = np.linalg.norm(est[i][:3, 3] - (gt[i][:3, 3] - gt[0][:3, 3]))
+        assert err < 0.25, f"frame {i} did not re-lock: err={err:.3f} m"
+
+
 def test_deskew_reduces_ate_on_distorted_scans():
     """Render mid-pose scans, distort them with the frame's own motion
     (azimuth sweep phase), and check deskew recovers accuracy
