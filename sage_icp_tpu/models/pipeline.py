@@ -214,19 +214,23 @@ PRESETS = {
     # on it identically, scripts/divergence_bisect.py), so the bench runs
     # on the city world, whose structure constrains all six DoF.
     # Capacities from measured occupancy (scripts/world_occupancy.py,
-    # d=0.7 on the furnished round-4 world: raw 12.5k, ds1 11.7k, src
-    # 7.4k, unique src voxels 7.1k, insert voxels 9.7k, live map 14.0k)
-    # x 1.1-4 margin.
+    # d=0.7 on the enriched round-4 world — multi-scale facade relief,
+    # dense parking rows, sidewalk clutter — with per-frame fresh render
+    # sampling: raw 15.1k, ds1 13.7k, src 8.2k, unique src voxels 7.8k,
+    # insert voxels 10.8k, live map 44.2k; fresh sampling densifies the
+    # map toward every base-grid voxel under the cull, ~3x the old
+    # persistent-hash world) x 1.2-3 margin. 131k slots keep the hash
+    # load at ~0.34 where the depth-12 probe window never exhausts.
     "city": SageConfig(
         dynamic_vehicle_filter=False,
         min_range=2.0,
-        scan_capacity=16_384,
+        scan_capacity=20_480,
         frame_capacity=16_384,
-        source_capacity=8_192,
-        map_capacity=65_536,
-        insert_unique_capacity=11_520,  # 3 * 256 * 15: packed policy rows
+        source_capacity=10_240,
+        map_capacity=131_072,
+        insert_unique_capacity=13_056,  # 3 * 256 * 17: packed policy rows
         corr_unique_voxel_rows=8_192,
-        corr_overflow_rows=512,
+        corr_overflow_rows=1_024,
     ),
     # geometric KISS-ICP mode: single class group holding every label,
     # semantics disabled (BASELINE.json config #1)
@@ -387,19 +391,19 @@ def voxelize(points, valid, config: SageConfig, with_stats: bool = False):
     return (source, source_valid), (frame_ds, frame_valid)
 
 
-def odometry_step(
+def prepare_icp_inputs(
     state: OdomState,
     points: jax.Array,
     valid: jax.Array,
     timestamps: jax.Array,
     config: SageConfig,
-) -> tuple[OdomState, jax.Array, StepAux]:
-    """One full odometry step (reference pipeline/sageICP.cpp:36-95).
-
-    points: (scan_capacity, 4) sensor-frame xyz+label; valid: mask;
-    timestamps: (scan_capacity,) in [0,1] (used iff config.deskew).
-    Returns (new_state, pose (4,4), aux).
-    """
+) -> dict:
+    """Everything of the step BEFORE the ICP solve (reference
+    pipeline/sageICP.cpp:36-76): deskew, preprocess, dynamic filter,
+    double downsample, adaptive threshold, constant-velocity prediction,
+    and the shared probe tables. Split out so the runner's timed mode can
+    clock the ICP solve as its own device dispatch (the reference times
+    exactly that span with std::chrono, sageICP.cpp:79-88)."""
     dt = config.jax_dtype()
     eye = jnp.eye(4, dtype=dt)
 
@@ -447,25 +451,23 @@ def odometry_step(
     # extrapolating: unbounded extrapolation is exactly how a lost run
     # overflowed f32 and latched NaN (round-4 bisect, frames 27-30; the
     # NaN-pred comparison is False, so NaN also falls back to eye).
-    pred_ok = jnp.linalg.norm(prediction[:3, 3]) <= config.max_range
+    # The check covers the WHOLE matrix: a prediction with garbage
+    # ROTATION lanes but small translation (inf*0=NaN products from a
+    # corrupted carried pose) must fall back too — checking only the
+    # translation norm let NaN rotations through (round-4 repro f030-31).
+    pred_ok = jnp.all(jnp.isfinite(prediction)) & (
+        jnp.linalg.norm(prediction[:3, 3]) <= config.max_range
+    )
     prediction = jnp.where(pred_ok, prediction, eye)
     last = jnp.where(state.num_poses > 0, state.last_pose, eye)
+    # induction guard: a finite step output requires a finite carried pose
+    last = jnp.where(jnp.all(jnp.isfinite(last)), last, eye)
     initial_guess = jnp.matmul(last, prediction, precision="highest")
 
-    # --- ICP -------------------------------------------------------------------
     from sage_icp_tpu.ops.correspondence_fast import fast_path_supported
 
     fast_ok = config.use_fast_correspondences and fast_path_supported(
         config.voxel_size_map, config.local_map_range, config.max_range
-    )
-    fast_params = (
-        dict(
-            unique_voxel_rows=config.corr_unique_voxel_rows,
-            queries_per_voxel=config.corr_queries_per_voxel,
-            overflow_rows=config.corr_overflow_rows,
-        )
-        if fast_ok
-        else None
     )
     # one probe-table build per step, shared by the ICP solve and the map
     # insert (packed offsets cover both centers: fast_path_supported bounds
@@ -480,11 +482,46 @@ def odometry_step(
             trunc_div(initial_guess[:3, 3], config.voxel_size_map),
             config.probe_depth,
         )
-    icp = reg.register_frame(
-        state.map,
-        source,
-        source_valid,
-        initial_guess,
+    return dict(
+        source=source,
+        source_valid=source_valid,
+        frame_ds=frame_ds,
+        frame_valid=frame_valid,
+        sigma=sigma,
+        thr=thr,
+        initial_guess=initial_guess,
+        tables=shared_tables,
+        fast_ok=fast_ok,
+        dyn_overflow=dyn_overflow,
+        ds_trunc=ds_trunc,
+    )
+
+
+def run_icp(map_state, prep: dict, config: SageConfig) -> reg.IcpResult:
+    """The ICP solve on prepared inputs (reference sageICP.cpp:80-85 ->
+    core/Registration.cpp:113-141): max_corr_dist = 3*sigma, robust
+    kernel = sigma/3. fast_ok is recomputed from config (static) so a
+    `prep` dict that crossed a jit boundary (timed mode) still works."""
+    from sage_icp_tpu.ops.correspondence_fast import fast_path_supported
+
+    fast_ok = config.use_fast_correspondences and fast_path_supported(
+        config.voxel_size_map, config.local_map_range, config.max_range
+    )
+    fast_params = (
+        dict(
+            unique_voxel_rows=config.corr_unique_voxel_rows,
+            queries_per_voxel=config.corr_queries_per_voxel,
+            overflow_rows=config.corr_overflow_rows,
+        )
+        if fast_ok
+        else None
+    )
+    sigma = prep["sigma"]
+    return reg.register_frame(
+        map_state,
+        prep["source"],
+        prep["source_valid"],
+        prep["initial_guess"],
         config.voxel_size_map,
         3.0 * sigma,
         sigma / 3.0,
@@ -492,8 +529,31 @@ def odometry_step(
         max_iterations=config.max_icp_iterations,
         probe_depth=config.probe_depth,
         fast_params=fast_params,
-        tables=shared_tables,
+        tables=prep["tables"],
     )
+
+
+def odometry_step(
+    state: OdomState,
+    points: jax.Array,
+    valid: jax.Array,
+    timestamps: jax.Array,
+    config: SageConfig,
+) -> tuple[OdomState, jax.Array, StepAux]:
+    """One full odometry step (reference pipeline/sageICP.cpp:36-95).
+
+    points: (scan_capacity, 4) sensor-frame xyz+label; valid: mask;
+    timestamps: (scan_capacity,) in [0,1] (used iff config.deskew).
+    Returns (new_state, pose (4,4), aux).
+    """
+    prep = prepare_icp_inputs(state, points, valid, timestamps, config)
+    (source, source_valid) = prep["source"], prep["source_valid"]
+    (frame_ds, frame_valid) = prep["frame_ds"], prep["frame_valid"]
+    sigma, thr = prep["sigma"], prep["thr"]
+    initial_guess, shared_tables = prep["initial_guess"], prep["tables"]
+    dyn_overflow, ds_trunc = prep["dyn_overflow"], prep["ds_trunc"]
+
+    icp = run_icp(state.map, prep, config)
     # Solve-health guard (VERDICT r3 #3). Two failure signatures:
     #   * non-finite pose — Gauss-Newton on singular geometry or a
     #     teleported input can overflow se3_exp (reference leaves this
@@ -509,7 +569,14 @@ def odometry_step(
     # the teleport clamp above bounds the prediction), so the fallback
     # cannot latch. Both signatures ride overflow_total().
     num_source = jnp.sum(source_valid.astype(jnp.int32))
-    pose_ok = jnp.all(jnp.isfinite(icp.pose))
+    # pose_ok also demands an orthonormal rotation: a garbage solve can
+    # compose so many large increments that f32 rounding denormalizes R
+    # (observed ~20x scale after a lost 29-iteration solve); accepting it
+    # makes the next prediction amplify instead of translate, which is
+    # how the round-4 fresh-world replay teleported 236 m in one frame.
+    R = icp.pose[:3, :3]
+    ortho = jnp.sum(jnp.square(jnp.matmul(R.T, R) - jnp.eye(3, dtype=R.dtype)))
+    pose_ok = jnp.all(jnp.isfinite(icp.pose)) & (ortho < 1e-3)
     corr_floor = num_source // 20  # 5% of valid sources
     corr_ok = icp.num_correspondences >= corr_floor
     # frame 0 legitimately has zero correspondences (empty map)

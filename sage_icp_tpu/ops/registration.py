@@ -110,7 +110,20 @@ def solve_increment(JTJ: jax.Array, JTr: jax.Array) -> jax.Array:
         ) / L[i][i]
     x = jnp.stack(x)
     # guard NaN/inf (singular geometry): a zero step terminates the loop
-    return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    # Increment-norm clamp (TPU-f32 constraint, docs/ARCHITECTURE.md): a
+    # near-singular normal matrix with garbage correspondences can yield
+    # |x| ~ 1e6+, and f32 se3_exp of such a twist is numerically NON-
+    # orthonormal (trig argument reduction breaks down), after which the
+    # composed pose is no longer a rigid transform and every downstream
+    # guard reasons about garbage. 10 m / 10 rad is far beyond any
+    # legitimate GN step (legitimate first steps are bounded by the
+    # initial-guess error, ~1 m), so reference behavior is unchanged in
+    # the entire sane regime; the reference's unclamped f64 LDLT
+    # (Registration.cpp:92) tolerates this only because f64 trig holds
+    # to ~1e15.
+    n = jnp.linalg.norm(x)
+    return jnp.where(n > 10.0, x * (10.0 / jnp.maximum(n, 1e-30)), x)
 
 
 class IcpResult(NamedTuple):

@@ -53,6 +53,17 @@ def main(argv=None):
                     "every --image-every frames (reference "
                     "eval/kittiraw_image_pub.py)")
     ap.add_argument("--image-every", type=int, default=50)
+    ap.add_argument("--timed-icp", action="store_true",
+                    help="clock the ICP solve as its own device dispatch "
+                    "per frame so time.txt's t_icp is a real measurement "
+                    "(the reference's std::chrono span, sageICP.cpp:79-88)"
+                    "; costs one extra solve per frame and forces "
+                    "per-frame mode")
+    ap.add_argument("--jitter", type=float, default=0.1,
+                    help="synthetic-trajectory motion jitter (m/frame "
+                    "surge scale; 0 = perfectly constant velocity, which "
+                    "STARVES the reference's adaptive threshold — see "
+                    "docs/ARCHITECTURE.md round-4 finding)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a JAX platform (e.g. cpu, tpu); overrides "
                     "any site-pinned default, unlike the JAX_PLATFORMS env "
@@ -91,7 +102,7 @@ def main(argv=None):
             pts, labs = synthetic.build_world(
                 seed=1, length=max(120.0, n * 1.2)
             )
-        gt = synthetic.make_trajectory(n, step=1.0)
+        gt = synthetic.make_trajectory(n, step=1.0, jitter=args.jitter)
         rng = np.random.default_rng(0)
         scans = (
             synthetic.render_scan(pts, labs, gt[i], rng, n_target=30000)
@@ -100,7 +111,7 @@ def main(argv=None):
         kf = KeyframeExtractor() if args.keyframes else None
         res = run_sequence(odom, scans, gt_poses=gt, max_frames=n,
                            keyframes=kf, progress=True, seq_name="synthetic",
-                           chunk=args.chunk)
+                           chunk=args.chunk, timed_icp=args.timed_icp)
         res.save(os.path.join(args.out, "synthetic"))
         all_metrics["synthetic"] = res.metrics()
 
@@ -117,7 +128,7 @@ def main(argv=None):
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 keyframes=kf, progress=True, seq_name=ds.seq,
-                chunk=args.chunk, overlay=overlay,
+                chunk=args.chunk, overlay=overlay, timed_icp=args.timed_icp,
             )
             res.save(os.path.join(args.out, f"seq{ds.seq}"), ds.timestamps)
             all_metrics[ds.seq] = res.metrics()
@@ -137,7 +148,7 @@ def main(argv=None):
             max_frames=args.frames,
             progress=True,
             seq_name=args.drive,
-            chunk=args.chunk,
+            chunk=args.chunk, timed_icp=args.timed_icp,
             overlay=overlay,
         )
         res.save(os.path.join(args.out, args.drive))
@@ -158,7 +169,7 @@ def main(argv=None):
             res = run_sequence(
                 odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
                 progress=True, seq_name=f"{date}_{drive}",
-                chunk=args.chunk, overlay=overlay,
+                chunk=args.chunk, overlay=overlay, timed_icp=args.timed_icp,
             )
             res.save(os.path.join(args.out, f"{date}_{drive}"))
             all_metrics[f"{date}_{drive}"] = res.metrics()

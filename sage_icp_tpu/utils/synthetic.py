@@ -208,10 +208,18 @@ def build_city_world(
     # block-long facade constrains only its normal direction and point-to-
     # point ICP can slide along the street canyon (the corridor-world
     # degeneracy all over again — round-4 bisect: the reference-exact
-    # search diverges mid-canyon exactly like the fast path). 3 m window
-    # bays alternating 0.3 m deep, phase-shifted per floor.
+    # search diverges mid-canyon exactly like the fast path). TWO scales:
+    # 3 m window bays 0.4 m deep (coarse basin: captures ~0.2 m errors)
+    # plus 0.75 m panel texture at +-0.1 m (sills/frames/drainpipes: a
+    # dense fine-scale gradient) — the point-to-point forward-constraint
+    # basin is roughly HALF the smallest structure scale, so a smooth or
+    # single-scale facade leaves the solve nothing to re-lock onto once
+    # the constant-velocity guess is a few cm off (round-4 force probes).
     def _relief(along, z):
-        return 0.3 * (((np.floor(along / 3.0) + np.floor(z / 2.6)) % 2.0))
+        bay = 0.4 * (((np.floor(along / 3.0) + np.floor(z / 2.6)) % 2.0))
+        cell = np.floor(along / 0.75) * 7.0 + np.floor(z / 0.75) * 13.0
+        panel = 0.1 * np.sin(cell * 2.399963)  # deterministic, aperiodic
+        return bay + panel
 
     def wall_x(x0, x1, y, z1, step, label, sign=1.0):
         step = step * inv_d
@@ -348,14 +356,49 @@ def build_city_world(
             )
             pts.append(p)
             labs.append(np.full(n, POLE, dtype=np.int32))
-        for i, x in enumerate(np.arange(-half + 9.0, half - 4.0, 27.0)):
+        for i, x in enumerate(np.arange(-half + 9.0, half - 4.0, 13.0)):
             parked_car(x, e + (4.1 if i % 2 == 0 else -4.1), along_x=True)
-        for i, y in enumerate(np.arange(-half + 9.0, half - 4.0, 27.0)):
+        for i, y in enumerate(np.arange(-half + 9.0, half - 4.0, 13.0)):
             parked_car(e + (4.1 if i % 2 == 1 else -4.1), y, along_x=False)
         for i, x in enumerate(np.arange(-half + 5.0, half, 16.0)):
             tree(x, e + (6.9 if i % 2 == 0 else -6.9))
         for i, y in enumerate(np.arange(-half + 5.0, half, 16.0)):
             tree(e + (6.9 if i % 2 == 1 else -6.9), y)
+        # sidewalk clutter: bins / hydrants / steps — small boxes every
+        # ~9 m; with the cars and trees these are the continuous near-
+        # field 3D anchors that pin the along-road DoF in real urban
+        # scans (TRAFFIC_SIGN label: a critical retention class)
+        for i, x in enumerate(np.arange(-half + 3.0, half, 9.0)):
+            side = 6.3 if i % 3 != 1 else -6.3
+            w = 0.4 + 0.3 * ((i * 7) % 3)
+            h = 0.6 + 0.25 * ((i * 5) % 4)
+            slab(x, x + w, e + side - w / 2, e + side + w / 2, h, 0.15,
+                 TRAFFIC_SIGN, jitter=0.02)
+            zs = np.arange(0.1, h, 0.15 * inv_d)
+            xv = np.arange(x, x + w, 0.15 * inv_d)
+            if len(zs) and len(xv):
+                X, Z = np.meshgrid(xv, zs)
+                m = X.size
+                pts.append(np.stack(
+                    [X.ravel(),
+                     np.full(m, e + side - w / 2) + rng.normal(0, 0.02, m),
+                     Z.ravel()], axis=1))
+                labs.append(np.full(m, TRAFFIC_SIGN, dtype=np.int32))
+        for i, y in enumerate(np.arange(-half + 3.0, half, 9.0)):
+            side = 6.3 if i % 3 != 2 else -6.3
+            w = 0.4 + 0.3 * ((i * 7) % 3)
+            h = 0.6 + 0.25 * ((i * 5) % 4)
+            slab(e + side - w / 2, e + side + w / 2, y, y + w, h, 0.15,
+                 TRAFFIC_SIGN, jitter=0.02)
+            zs = np.arange(0.1, h, 0.15 * inv_d)
+            yv = np.arange(y, y + w, 0.15 * inv_d)
+            if len(zs) and len(yv):
+                Y, Z = np.meshgrid(yv, zs)
+                m = Y.size
+                pts.append(np.stack(
+                    [np.full(m, e + side - w / 2) + rng.normal(0, 0.02, m),
+                     Y.ravel(), Z.ravel()], axis=1))
+                labs.append(np.full(m, TRAFFIC_SIGN, dtype=np.int32))
     points = np.concatenate(pts).astype(np.float32)
     labels = np.concatenate(labs)
     return points, labels
@@ -366,6 +409,8 @@ def make_trajectory(
     step: float = 1.0,
     curve: float = 0.0005,
     accel_frames: int = 6,
+    jitter: float = 0.0,
+    seed: int = 7,
 ):
     """Ground-truth 4x4 poses: accelerate from standstill to `step` m/frame
     over `accel_frames` (like a real drive — the constant-velocity
@@ -373,18 +418,38 @@ def make_trajectory(
     gentle yaw curve. Sensor at z = 1.8. The default curve keeps the
     vehicle inside its 5 m road half-width for ~130 frames on the origin-
     centered city grid (y ~= curve/2 * x^2): a lane-keeping drift, not a
-    lane departure."""
+    lane departure.
+
+    jitter > 0 adds low-passed speed/yaw-rate perturbations (traffic,
+    road texture) scaled by `jitter` in m/frame — a perfectly constant-
+    velocity drive is OUT OF DOMAIN for the reference's AdaptiveThreshold
+    (Threshold.cpp:39-50 accumulates only model deviations > min_motion_th
+    = 0.1 m, so a clean cruise freezes sigma at whatever the acceleration
+    phase left; real drives keep feeding it)."""
+    rng = np.random.default_rng(seed)
     poses = []
     x, y, yaw = 0.0, 0.0, 0.0
+    dv, yd = 0.0, 0.0
     for i in range(n_frames):
-        c, s = np.cos(yaw), np.sin(yaw)
+        hdg = yaw + yd  # heading = nominal course + transient wobble
+        c, s = np.cos(hdg), np.sin(hdg)
         T = np.eye(4)
         T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         T[:3, 3] = [x, y, 1.8]
         poses.append(T.copy())
         v = step * min(1.0, (i + 1) / max(accel_frames, 1))
-        x += v * np.cos(yaw)
-        y += v * np.sin(yaw)
+        if jitter > 0.0:
+            # speed: low-passed surge (traffic/throttle); heading: mean-
+            # reverting wobble (steering corrections) — it does NOT
+            # integrate into the course, so the vehicle keeps its lane.
+            # At jitter=0.1 the constant-velocity prediction error is
+            # ~0.1-0.3 m/frame translation + ~0.1 deg/frame heading —
+            # the 10 Hz deviation scale of a real drive.
+            dv = 0.6 * dv + rng.normal(0.0, jitter)
+            yd = 0.8 * yd + rng.normal(0.0, 0.02 * jitter)
+            v = max(v + dv, 0.0)
+        x += v * np.cos(hdg)
+        y += v * np.sin(hdg)
         yaw += curve * v
     return np.stack(poses)
 
@@ -473,15 +538,38 @@ def render_scan(
     local = world_pts @ Rinv.T + tinv
     r = np.linalg.norm(local, axis=1)
     sel = (r < max_range) & (r > 1.0)
-    idx_all = np.nonzero(sel)[0]
     local, labs, r = local[sel], world_labels[sel], r[sel]
-    # distance thinning: keep with prob ~ min(1, (12/r)^1.2). The draw is a
-    # DETERMINISTIC hash of the world-point index, so the same physical
-    # surface sample persists across frames (like real LiDAR returns from
-    # stable structure) — pure per-frame resampling would starve
-    # point-to-point ICP of persistent features.
-    u = (np.sin(idx_all * 12.9898 + 78.233) * 43758.5453) % 1.0
-    p = np.minimum(1.0, (12.0 / np.maximum(r, 1e-3)) ** 1.2)
+    # Distance thinning, drawn FRESH per frame and SURFACE-AWARE — both
+    # properties were round-4 divergence root causes:
+    #
+    # * Fresh draws: through round 3 the draw was a persistent hash of
+    #   the world-point index ("stable returns"), so ~98% of a frame's
+    #   far-field points had their EXACT same point in the map, inserted
+    #   one frame earlier at THAT frame's pose error — a momentum term
+    #   that constrains the solve to yesterday's error instead of the
+    #   world. Real spinning LiDAR never hits the same physical point
+    #   twice.
+    # * Surface-aware falloff: a uniform (12/r)^1.2 keep probability
+    #   made EVERY surface sparse at range, and the resulting radial
+    #   density gradient biases far-field NN assignments inward (toward
+    #   the vehicle) — under any forward pose error the behind-field
+    #   bias points forward, the gating asymmetry nets a pull that
+    #   TRACKS the error, and the constant-velocity prediction ratchets
+    #   it a few cm per frame into divergence (scripts/force_probe.py
+    #   decomposition at the f016 onset). A real scanner's angular
+    #   spacings both grow ~linearly with range on VERTICAL structure
+    #   (area density ~ 1/r^2, walls stay dense to ~50 m+), while only
+    #   GROUND fades fast (grazing incidence, ~ 1/r^3) — so real far
+    #   fields keep dense vertical anchors exactly where this model now
+    #   puts them.
+    u = rng.random(len(r))
+    rs = np.maximum(r, 1e-3)
+    ground = np.isin(labs, (ROAD, PARKING, SIDEWALK))
+    p = np.where(
+        ground,
+        np.minimum(1.0, (18.0 / rs) ** 3),
+        np.minimum(1.0, (40.0 / rs) ** 2),
+    )
     keep = u < p
     local, labs = local[keep], labs[keep]
     if len(local) > n_target:

@@ -86,6 +86,10 @@ cfg = dataclasses.replace(
     pl.PRESETS[os.environ.get("REPRO_PRESET", "city")],
     quantized_scan_upload=os.environ.get("REPRO_QUANT", "1") == "1",
 )
+if "REPRO_MAXRANGE" in os.environ:  # bisect: shrink the sensor horizon
+    cfg = dataclasses.replace(
+        cfg, max_range=float(os.environ["REPRO_MAXRANGE"])
+    )
 if MODE == "nofast":
     cfg = dataclasses.replace(cfg, use_fast_correspondences=False)
 
@@ -93,7 +97,14 @@ world_pts, world_labs = synthetic.build_city_world(
     seed=0, size=420.0,
     density=float(os.environ.get("REPRO_DENSITY", "0.7")),
 )
-gt = synthetic.make_trajectory(n_frames, step=1.0)
+if os.environ.get("REPRO_STRIP", ""):  # bisect: drop a label class from
+    # the world, e.g. REPRO_STRIP=10 removes every parked car
+    keep = world_labs != int(os.environ["REPRO_STRIP"])
+    world_pts, world_labs = world_pts[keep], world_labs[keep]
+gt = synthetic.make_trajectory(
+    n_frames, step=1.0,
+    jitter=float(os.environ.get("REPRO_JITTER", "0")),
+)
 rng = np.random.default_rng(0)
 scans = [
     synthetic.render_scan(
@@ -109,10 +120,14 @@ for i in range(n_frames):
     odom.register_frame(scans[i])
     auxes.append(odom.last_aux)
     a = auxes[-1]
-    t = np.asarray(odom.poses[-1])[:3, 3]
+    P = np.asarray(odom.poses[-1])
+    t = P[:3, 3]
     err = np.linalg.norm(t - gt[i][:3, 3])
+    R_err = P[:3, :3] @ gt[i][:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     print(
         f"[{MODE}] f{i:03d}: t={np.round(t, 3)} err={err:.3f} "
+        f"rot={ang:.3f}deg "
         f"iters={int(a.icp_iterations)} sigma={float(a.sigma):.3f} "
         f"ncorr={int(a.num_correspondences)} nsrc={int(a.num_source)} "
         f"drop={int(a.corr_dropped)} claimf={int(a.insert_claim_failures)} "

@@ -24,8 +24,11 @@ def small_config(**kw):
     defaults = dict(
         scan_capacity=16384,
         frame_capacity=16384,
-        source_capacity=4096,
-        map_capacity=32768,
+        source_capacity=8192,
+        # the whole 160 m fixture world fits under the 100 m cull: with
+        # per-frame fresh render sampling the live map approaches ALL
+        # ~28.5k of its 0.8 m voxels — 65k slots keep the hash load low
+        map_capacity=65536,
         max_icp_iterations=500,  # the reference budget (Registration.cpp:96)
         # — turn frames legitimately take 50-150 iterations of
         # point-to-point creep; a 100 cap left them unconverged and the
@@ -34,15 +37,18 @@ def small_config(**kw):
         min_range=1.0,
         # row demand ~= num_source with the P=2 grid (most queries are
         # alone in their 0.8 m voxel; see SageConfig.corr_unique_voxel_rows)
-        corr_unique_voxel_rows=4096,
+        # — measured fixture maxima at density 1.6 / n_target 14000:
+        # raw 14000, ds1 12003, src 5875, insert voxels 8202 (numpy
+        # emulation over the maneuver trajectory)
+        corr_unique_voxel_rows=8192,
         corr_overflow_rows=512,
-        insert_unique_capacity=4096,
+        insert_unique_capacity=9216,  # 3 * 256 * 12: packed policy rows
     )
     defaults.update(kw)
     return pl.SageConfig(**defaults)
 
 
-def drive(config, world, gt, n_target=9000, seed=3, timestamps=None):
+def drive(config, world, gt, n_target=14000, seed=3, timestamps=None):
     pts, labs = world
     rng = np.random.default_rng(seed)
     odom = pl.SageICP(config)
@@ -69,8 +75,11 @@ def ate_trans(est, gt):
 
 @pytest.fixture(scope="module")
 def city():
+    # density 1.6: the round-4 in-domain envelope — the 0.4 m downsample
+    # cells must saturate within a frame or two so map voxels are crisp
+    # single-pose snapshots, not multi-frame smears (docs/ARCHITECTURE.md)
     return synthetic.build_city_world(seed=2, size=160.0, block=50.0,
-                                      density=1.0)
+                                      density=1.6)
 
 
 def test_turn_stop_reverse_trajectory(city):
@@ -81,7 +90,7 @@ def test_turn_stop_reverse_trajectory(city):
     # urban turn, ~2x the sharpest KITTI turns. (8 frames = 112 deg/s was
     # beyond any real vehicle and outside the point-to-point basin.)
     gt = synthetic.make_maneuver_trajectory(
-        straight=8, turn=15, stop=3, reverse=6, step=1.0
+        straight=8, turn=15, stop=3, reverse=6, step=0.75
     )
     est, odom = drive(small_config(), city, gt)
     ate, err = ate_trans(est, gt)
@@ -113,23 +122,29 @@ def test_golden_trajectory_regression():
 
 def test_overflow_counters_fire_when_undersized(city):
     """A deliberately undersized config must make the drop counters
-    nonzero (VERDICT r1 #5: silent overflow was invisible)."""
+    nonzero (VERDICT r1 #5: silent overflow was invisible). Two probes:
+    an undersized correspondence grid (corr_dropped fires — and since
+    round 4 the collapsed solve is REJECTED, so icp_rejected fires and
+    the insert is skipped), and an undersized insert with a healthy
+    solve (insert counters fire)."""
     gt = synthetic.make_maneuver_trajectory(straight=4, turn=0, stop=0,
                                             reverse=0)
-    cfg = small_config(
-        insert_unique_capacity=256,
-        corr_unique_voxel_rows=64,
-        corr_overflow_rows=32,
-        max_incoming_per_voxel=2,
-    )
-    est, odom = drive(cfg, city, gt, n_target=9000)
+    cfg = small_config(corr_unique_voxel_rows=64, corr_overflow_rows=32)
+    est, odom = drive(cfg, city, gt)
     aux = odom.last_aux
-    assert int(aux.insert_unique_overflow) > 0
     assert int(aux.corr_dropped) > 0
     assert int(aux.overflow_total()) > 0
+
+    cfg2 = small_config(insert_unique_capacity=256,
+                        max_incoming_per_voxel=2)
+    est2, odom2 = drive(cfg2, city, gt)
+    aux2 = odom2.last_aux
+    assert int(aux2.insert_unique_overflow) > 0
+    assert int(aux2.overflow_total()) > 0
+
     # and the healthy config reports zero across the board
-    est2, odom2 = drive(small_config(), city, gt, n_target=9000)
-    assert int(odom2.last_aux.overflow_total()) == 0
+    est3, odom3 = drive(small_config(), city, gt)
+    assert int(odom3.last_aux.overflow_total()) == 0
 
 
 def test_recovers_from_garbage_scan_mid_sequence(city):
@@ -141,14 +156,19 @@ def test_recovers_from_garbage_scan_mid_sequence(city):
     prediction and the map insert, compounding ~2x per frame to NaN by
     frame 30. The reference's only recovery is the manual reinit service,
     OdometryServer.cpp:259-296 — this beats it.)"""
-    gt = synthetic.make_trajectory(10, step=1.0)
+    gt = synthetic.make_trajectory(12, step=1.0)
     pts, labs = city
     rng = np.random.default_rng(3)
     odom = pl.SageICP(small_config())
     rejected_at = []
+    # inject at frame 7: past the acceleration ramp (accel_frames=6), so
+    # the constant-velocity coast on the rejected frame is cm-accurate
+    # (during accel the model lags by the per-frame accel ~0.17 m, which
+    # tests the prediction model, not the recovery)
+    bad = 7
     for i in range(len(gt)):
-        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=9000)
-        if i == 5:
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=14000)
+        if i == bad:
             scan = scan.copy()
             scan[:, 2] += 25.0  # nothing can match the map
         odom.register_frame(scan)
@@ -157,10 +177,10 @@ def test_recovers_from_garbage_scan_mid_sequence(city):
             rejected_at.append(i)
     est = np.stack([np.asarray(p) for p in odom.poses])
     assert np.isfinite(est).all(), "poses went non-finite"
-    assert rejected_at == [5], f"guard fired at {rejected_at}, expected [5]"
+    assert rejected_at == [bad], f"guard fired at {rejected_at} != [{bad}]"
     # the garbage frame coasts on the motion model (correct to ~cm here),
     # and the frames after it must track ground truth again
-    for i in (6, 7, 8, 9):
+    for i in range(bad + 1, len(gt)):
         err = np.linalg.norm(est[i][:3, 3] - (gt[i][:3, 3] - gt[0][:3, 3]))
         assert err < 0.25, f"frame {i} did not re-lock: err={err:.3f} m"
 
@@ -183,7 +203,7 @@ def test_deskew_reduces_ate_on_distorted_scans():
     rng = np.random.default_rng(5)
     scans, tss = [], []
     for i in range(len(gt)):
-        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=9000)
+        scan = synthetic.render_scan(pts, labs, gt[i], rng, n_target=14000)
         nxt = gt[min(i + 1, len(gt) - 1)]
         delta = np.asarray(
             geo.se3_log(jnp.asarray(np.linalg.inv(gt[i]) @ nxt, jnp.float32))
