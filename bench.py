@@ -14,16 +14,16 @@ through round 2 is FORWARD-DEGENERATE for this class of odometry — the
 reference algorithm itself diverges on it, scripts/divergence_bisect.py):
   * value — the "city" preset: capacities fitted to the city world's
     measured occupancy at density 0.7 (fixed shapes sized per
-    deployment, like sizing for a known sensor); ~12k live map voxels,
-    ~7k ICP sources per frame.
+    deployment, like sizing for a known sensor); ~39k live map voxels,
+    ~10k ICP sources per frame.
   * kitti_scale_scans_per_sec — the PRODUCTION "kitti" preset (262,144
-    map slots, 135k scan capacity) at density 1.8, whose per-frame
-    point counts match the real KITTI steady state (in-range raw ~78k,
-    frame downsample ~55k vs KITTI ~53k, sources ~17k; live map reaches
-    ~35k voxels over 60 frames vs KITTI's ~50-100k — the synthetic
-    thinning is harsher at range). This is the honest number for
-    "KITTI steady state". (Density recalibrated from 2.0 when the
-    round-4 street furniture landed, scripts/world_occupancy.py.)
+    map slots, 135k scan capacity) at density 1.3, whose per-frame
+    point counts match the real KITTI steady state under the round-4
+    surface-aware renderer (in-range raw ~89k, frame downsample ~60k vs
+    KITTI ~53k, sources ~15k, live map ~49k voxels vs KITTI's ~50-100k).
+    This is the honest number for "KITTI steady state". (Density
+    recalibrated 2.0 -> 1.8 -> 1.3 as the round-4 renderer realism
+    fixes landed, scripts/world_occupancy.py.)
 
 Every phase asserts the per-frame overflow counters (StepAux) are zero —
 a fixed-shape pipeline must not silently truncate its workload.
@@ -154,7 +154,7 @@ def main():
         )
         kworld = synthetic.build_city_world(
             seed=0, size=420.0,
-            density=float(os.environ.get("BENCH_KITTI_DENSITY", "1.8")),
+            density=float(os.environ.get("BENCH_KITTI_DENSITY", "1.3")),
         )
         kitti_sps, kitti_nvox = run_phase(
             kcfg, kworld, n_warmup,

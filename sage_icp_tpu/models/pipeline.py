@@ -214,22 +214,21 @@ PRESETS = {
     # on it identically, scripts/divergence_bisect.py), so the bench runs
     # on the city world, whose structure constrains all six DoF.
     # Capacities from measured occupancy (scripts/world_occupancy.py,
-    # d=0.7 on the enriched round-4 world — multi-scale facade relief,
-    # dense parking rows, sidewalk clutter — with per-frame fresh render
-    # sampling: raw 15.1k, ds1 13.7k, src 8.2k, unique src voxels 7.8k,
-    # insert voxels 10.8k, live map 44.2k; fresh sampling densifies the
-    # map toward every base-grid voxel under the cull, ~3x the old
-    # persistent-hash world) x 1.2-3 margin. 131k slots keep the hash
-    # load at ~0.34 where the depth-12 probe window never exhausts.
+    # d=0.7 on the round-4 world + render: enriched geometry (multi-
+    # scale facade relief, parking rows, sidewalk clutter), per-frame
+    # fresh sampling, surface-aware falloff (walls dense to 40 m):
+    # raw 26.6k, ds1 22.5k, src 10.1k, unique src voxels 9.3k, insert
+    # voxels 15.5k, live map 39.4k) x 1.1-3 margin. 131k slots keep the
+    # hash load at ~0.30 where the depth-12 probe window never exhausts.
     "city": SageConfig(
         dynamic_vehicle_filter=False,
         min_range=2.0,
-        scan_capacity=20_480,
-        frame_capacity=16_384,
-        source_capacity=10_240,
+        scan_capacity=32_768,
+        frame_capacity=28_672,
+        source_capacity=12_288,
         map_capacity=131_072,
-        insert_unique_capacity=13_056,  # 3 * 256 * 17: packed policy rows
-        corr_unique_voxel_rows=8_192,
+        insert_unique_capacity=16_896,  # 3 * 256 * 22: packed policy rows
+        corr_unique_voxel_rows=10_240,
         corr_overflow_rows=1_024,
     ),
     # geometric KISS-ICP mode: single class group holding every label,
@@ -582,6 +581,10 @@ def odometry_step(
     # frame 0 legitimately has zero correspondences (empty map)
     healthy = pose_ok & ((state.num_poses == 0) | corr_ok)
     new_pose = jnp.where(healthy, icp.pose, initial_guess)
+    # Sophus parity (geo.renormalize docstring): the carried pose must be
+    # re-projected onto SE(3) every frame, or f32 scale drift compounds
+    # exponentially through the prediction recursion
+    new_pose = geo.renormalize(new_pose)
 
     # --- threshold deviation + map update ---------------------------------------
     model_deviation = jnp.matmul(

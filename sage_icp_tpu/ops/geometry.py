@@ -159,6 +159,34 @@ def se3_identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
 
 
+def renormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (one Newton-Schulz
+    polar iteration: R <- R (3I - R^T R) / 2; quadratic convergence, so
+    one step takes a 1e-2-scale drift to 1e-4 and f32-noise drift to
+    roundoff).
+
+    WHY THIS MUST RUN ON EVERY CARRIED POSE: the reference stores SE3 as
+    a Sophus SE3d — a UNIT QUATERNION plus translation, orthonormal by
+    construction (cpp/sage_icp/pipeline/sageICP.hpp uses Sophus::SE3d
+    throughout). A raw 4x4 f32 matrix representation has no such
+    invariant, and the per-frame prediction recursion
+        guess = last @ inv(prev) @ last
+    with a transpose-based rigid inverse COMPOUNDS any scale error
+    multiplicatively (e_{k+1} ~= 2 e_k + e_{k-1}: the transpose of a
+    scaled rotation has the SAME scale, so nothing ever cancels).
+    Starting from mere f32 rounding noise this reaches ~1% per-axis
+    scale by frame ~14 — a 1%-scaled guess displaces an 80 m point by
+    0.8 m radially, which collapsed the far-field correspondences and
+    drove the round-2..4 bench divergences (round-4 forensics:
+    scripts/nonfinite_probe.py showed diag(R) ~= 1.02 in the frame-15
+    initial guess on every world at every density)."""
+    R = T[..., :3, :3]
+    RtR = jnp.matmul(jnp.swapaxes(R, -1, -2), R, precision="highest")
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), RtR.shape)
+    R2 = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision="highest")
+    return _rt_to_mat(R2, T[..., :3, 3])
+
+
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply SE3 to xyz, preserving the label lane.
 
