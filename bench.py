@@ -34,10 +34,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import numpy as np
+import jax
+
+# jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var — set via config
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
@@ -100,6 +105,22 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
     assert max(len(s) for s in scans) <= config.scan_capacity, (
         f"[{label}] scan capacity overflow — preset undersized"
     )
+    # ---- accuracy guard (VERDICT r4 weak #4): a BENCH number is only
+    # valid if the timed frames actually TRACKED — counters alone can
+    # stay clean while the trajectory is wrong. GT is in hand (scans are
+    # rendered along gt); assert ATE over every registered frame.
+    est = odom.trajectory()
+    g0 = np.linalg.inv(gt[0])
+    errs = [
+        np.linalg.norm(e[:3, 3] - (g0 @ g)[:3, 3])
+        for e, g in zip(est, gt)
+    ]
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    assert ate < 1.0, (
+        f"[{label}] trajectory ATE {ate:.3f} m over {len(est)} frames — "
+        "the timed run did not track; a throughput number for a lost run "
+        f"is meaningless (max frame err {max(errs):.3f} m)"
+    )
     overflow = int(aux.overflow_total())
     assert overflow == 0, (
         f"[{label}] silent-drop counters nonzero: "
@@ -110,10 +131,11 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
         f"incoming_truncated={int(aux.insert_incoming_truncated)} "
         f"dynfilter_overflow={int(aux.dynfilter_overflow)} "
         f"nonfinite_pose={int(aux.nonfinite_pose)} "
-        f"icp_rejected={int(aux.icp_rejected)}"
+        f"icp_rejected={int(aux.icp_rejected)} "
+        f"icp_forced={int(aux.icp_forced)}"
     )
     n_map_voxels = int(np.asarray((odom.state.map.counts > 0).sum()))
-    return scans_per_sec, n_map_voxels
+    return scans_per_sec, n_map_voxels, ate
 
 
 def main():
@@ -142,12 +164,12 @@ def main():
         seed=0, size=420.0,
         density=float(os.environ.get("BENCH_DENSITY", "0.7")),
     )
-    sps, nvox = run_phase(
+    sps, nvox, ate = run_phase(
         config, world, n_warmup, n_frames, n_points, chunk, "city"
     )
 
     # phase 2: PRODUCTION kitti preset at true KITTI map scale
-    kitti_sps, kitti_nvox = None, None
+    kitti_sps, kitti_nvox, kitti_ate = None, None, None
     if os.environ.get("BENCH_KITTI", "1") == "1":
         kcfg = dataclasses.replace(
             pl.PRESETS["kitti"], quantized_scan_upload=qup
@@ -156,7 +178,7 @@ def main():
             seed=0, size=420.0,
             density=float(os.environ.get("BENCH_KITTI_DENSITY", "1.3")),
         )
-        kitti_sps, kitti_nvox = run_phase(
+        kitti_sps, kitti_nvox, kitti_ate = run_phase(
             kcfg, kworld, n_warmup,
             int(os.environ.get("BENCH_KITTI_FRAMES", str(n_frames))),
             n_points, chunk, "kitti-scale",
@@ -168,11 +190,13 @@ def main():
         "unit": "scans/s",
         "vs_baseline": round(sps / 200.0, 3),
         "map_voxels": nvox,
+        "ate_m": round(ate, 4),
     }
     if kitti_sps is not None:
         out["kitti_scale_scans_per_sec"] = round(kitti_sps, 2)
         out["kitti_scale_vs_baseline"] = round(kitti_sps / 200.0, 3)
         out["kitti_scale_map_voxels"] = kitti_nvox
+        out["kitti_scale_ate_m"] = round(kitti_ate, 4)
     print(json.dumps(out))
 
 

@@ -150,6 +150,15 @@ class SageConfig:
     corr_queries_per_voxel: int = 2
     corr_overflow_rows: int = 2048
     max_icp_iterations: int = 500
+    # Solve-health guard escape hatch (ADVICE r4): after this many
+    # CONSECUTIVE rejected frames the next finite solve is force-accepted
+    # (and its points inserted) even if its correspondence count is below
+    # the 5% floor — a sustained legitimately-low-overlap stretch
+    # (occlusion, re-entering a culled area) must not latch into
+    # permanent coasting: the reference always accepts and can
+    # re-converge; with the hatch, so can we. Forced accepts are counted
+    # in StepAux.icp_forced and ride overflow_total().
+    reject_streak_limit: int = 5
     dtype: str = "float32"
 
     def jax_dtype(self):
@@ -261,6 +270,9 @@ class OdomState(NamedTuple):
     first_pose: jax.Array  # (4, 4) poses_.front()
     num_poses: jax.Array  # i32
     threshold: ThresholdState
+    reject_streak: jax.Array  # i32 consecutive frames the solve-health
+    #   guard rejected; feeds the force-accept escape hatch
+    #   (SageConfig.reject_streak_limit)
 
 
 class StepAux(NamedTuple):
@@ -278,14 +290,21 @@ class StepAux(NamedTuple):
     insert_claim_failures: jax.Array  # probe-window-exhausted new voxels
     insert_incoming_truncated: jax.Array  # points > max_incoming_per_voxel
     dynfilter_overflow: jax.Array  # vehicle points beyond the filter cap
-    nonfinite_pose: jax.Array  # 1 iff ICP returned a non-finite pose this
-    #   frame (singular geometry / teleported input); the step then falls
-    #   back to the motion-model guess so the map is never NaN-polluted
+    nonfinite_pose: jax.Array  # 1 iff ICP returned an INVALID pose this
+    #   frame: non-finite entries (singular geometry / teleported input)
+    #   OR a non-orthonormal rotation (f32 denormalization after a
+    #   garbage many-increment solve — ADVICE r4: both signatures share
+    #   this counter); the step then falls back to the motion-model
+    #   guess so the map is never polluted
     icp_rejected: jax.Array  # 1 iff a FINITE solve was rejected because
     #   its correspondence count collapsed below the health floor (a lost
     #   frame: garbage scan, teleport, or an out-of-basin guess). The step
     #   coasts on the motion model and skips the map insert so one bad
     #   frame cannot poison the map or the carried pose (VERDICT r3 #3)
+    icp_forced: jax.Array  # 1 iff a below-floor finite solve was
+    #   FORCE-ACCEPTED because the guard had rejected
+    #   reject_streak_limit consecutive frames (the escape hatch that
+    #   keeps rejection from latching; ADVICE r4)
 
     def overflow_total(self):
         """Sum of every silent-drop channel — assert == 0 in benchmarks."""
@@ -293,7 +312,7 @@ class StepAux(NamedTuple):
             self.corr_dropped + self.ds_truncated
             + self.insert_unique_overflow + self.insert_claim_failures
             + self.insert_incoming_truncated + self.dynfilter_overflow
-            + self.nonfinite_pose + self.icp_rejected
+            + self.nonfinite_pose + self.icp_rejected + self.icp_forced
         )
 
 
@@ -339,6 +358,7 @@ def init_state(config: SageConfig) -> OdomState:
             sse=jnp.asarray(0.0, dt),
             num_samples=jnp.asarray(0, jnp.int32),
         ),
+        reject_streak=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -538,12 +558,18 @@ def odometry_step(
     valid: jax.Array,
     timestamps: jax.Array,
     config: SageConfig,
+    mesh=None,
 ) -> tuple[OdomState, jax.Array, StepAux]:
     """One full odometry step (reference pipeline/sageICP.cpp:36-95).
 
     points: (scan_capacity, 4) sensor-frame xyz+label; valid: mask;
     timestamps: (scan_capacity,) in [0,1] (used iff config.deskew).
     Returns (new_state, pose (4,4), aux).
+
+    mesh: optional jax.sharding.Mesh with a "points" axis — enables the
+    row-sharded insert-policy phase (ops/hashmap.insert multi-chip note);
+    everything else is partitioned by GSPMD from the in_shardings
+    (parallel/sharding.make_sharded_step).
     """
     prep = prepare_icp_inputs(state, points, valid, timestamps, config)
     (source, source_valid) = prep["source"], prep["source_valid"]
@@ -580,6 +606,18 @@ def odometry_step(
     corr_ok = icp.num_correspondences >= corr_floor
     # frame 0 legitimately has zero correspondences (empty map)
     healthy = pose_ok & ((state.num_poses == 0) | corr_ok)
+    # Escape hatch (ADVICE r4): rejection must not latch. After
+    # reject_streak_limit consecutive rejections, accept the next FINITE
+    # solve even below the correspondence floor — a sustained low-overlap
+    # stretch (occlusion, re-entering a culled area) then re-seeds the
+    # map instead of coasting forever; the reference always accepts
+    # (sageICP.cpp:90-93), so this is still strictly more protective.
+    forced = (
+        pose_ok
+        & ~healthy
+        & (state.reject_streak >= config.reject_streak_limit)
+    )
+    healthy = healthy | forced
     new_pose = jnp.where(healthy, icp.pose, initial_guess)
     # Sophus parity (geo.renormalize docstring): the carried pose must be
     # re-projected onto SE(3) every frame, or f32 scale drift compounds
@@ -611,6 +649,7 @@ def odometry_step(
         tables=shared_tables,
         basic_labels=config.basic_parts_labels,
         with_stats=True,
+        mesh=mesh,
     )
     new_map = hm.remove_far(new_map, new_pose[:3, 3], config.local_map_range)
 
@@ -621,6 +660,7 @@ def odometry_step(
         first_pose=jnp.where(state.num_poses == 0, new_pose, state.first_pose),
         num_poses=state.num_poses + 1,
         threshold=thr,
+        reject_streak=jnp.where(healthy, 0, state.reject_streak + 1),
     )
     aux = StepAux(
         sigma=sigma,
@@ -636,6 +676,7 @@ def odometry_step(
         dynfilter_overflow=dyn_overflow,
         nonfinite_pose=(~pose_ok).astype(jnp.int32),
         icp_rejected=(pose_ok & ~healthy).astype(jnp.int32),
+        icp_forced=forced.astype(jnp.int32),
     )
     return new_state, new_pose, aux
 
@@ -759,6 +800,7 @@ def make_chunk_step(config: SageConfig, chunk: int):
             dynfilter_overflow=jnp.sum(auxs.dynfilter_overflow),
             nonfinite_pose=jnp.sum(auxs.nonfinite_pose),
             icp_rejected=jnp.sum(auxs.icp_rejected),
+            icp_forced=jnp.sum(auxs.icp_forced),
         )
         return state, poses, (auxs.icp_iterations, agg)
 
@@ -787,6 +829,7 @@ class SageICP:
         self.timings: list[float] = []
         self.icp_iters: list = []  # per-frame ICP iteration counts
         #   (device arrays in chunked mode; fetched with the trajectory)
+        self._aux_log: list = []  # per-call device StepAux (no sync)
 
     def register_frame(
         self,
@@ -857,6 +900,7 @@ class SageICP:
                 jnp.asarray(ts),
             )
         self._last_aux_dev = aux
+        self._aux_log.append(aux)
         self.icp_iters.append(aux.icp_iterations)
         if block:
             pose = np.asarray(pose)
@@ -867,6 +911,41 @@ class SageICP:
     @property
     def last_aux(self):
         return jax.tree.map(np.asarray, self._last_aux_dev)
+
+    def aux_totals(self) -> StepAux:
+        """Counters AGGREGATED over every frame registered so far (one
+        fetch): overflow counters are summed, occupancy stats take the
+        max, sigma/iterations/num_correspondences report the last frame —
+        the same aggregation the chunked step applies across its window.
+        A transient overflow mid-sequence is invisible in last_aux (e.g.
+        the solve-health guard masks a starved insert once the solve is
+        rejected — the undersized frames still show up here)."""
+        if not self._aux_log:
+            return self.last_aux
+        logs = [jax.tree.map(np.asarray, a) for a in self._aux_log]
+        last = logs[-1]
+        return StepAux(
+            sigma=last.sigma,
+            icp_iterations=last.icp_iterations,
+            num_correspondences=last.num_correspondences,
+            num_source=np.max([a.num_source for a in logs]),
+            num_frame_ds=np.max([a.num_frame_ds for a in logs]),
+            corr_dropped=np.sum([a.corr_dropped for a in logs]),
+            ds_truncated=np.sum([a.ds_truncated for a in logs]),
+            insert_unique_overflow=np.sum(
+                [a.insert_unique_overflow for a in logs]
+            ),
+            insert_claim_failures=np.sum(
+                [a.insert_claim_failures for a in logs]
+            ),
+            insert_incoming_truncated=np.sum(
+                [a.insert_incoming_truncated for a in logs]
+            ),
+            dynfilter_overflow=np.sum([a.dynfilter_overflow for a in logs]),
+            nonfinite_pose=np.sum([a.nonfinite_pose for a in logs]),
+            icp_rejected=np.sum([a.icp_rejected for a in logs]),
+            icp_forced=np.sum([a.icp_forced for a in logs]),
+        )
 
     def trajectory(self) -> np.ndarray:
         """(N, 4, 4) trajectory; synchronizes any in-flight frames.
@@ -966,6 +1045,7 @@ class SageICP:
             self.state, dev
         )
         self._last_aux_dev = aux
+        self._aux_log.append(aux)
         # keep the whole (W, 4, 4) device array: per-frame slicing would
         # dispatch W ops, and trajectory() flattens chunks on device anyway
         self.poses.append(poses)
@@ -990,3 +1070,4 @@ class SageICP:
         self.poses = []
         self.timings = []
         self.icp_iters = []
+        self._aux_log = []

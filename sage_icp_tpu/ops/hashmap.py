@@ -362,6 +362,9 @@ def insert(
     #                                     compare-chain classification
     #                                     (no per-point LUT gather)
     with_stats: bool = False,  # also return InsertStats overflow counters
+    mesh=None,  # jax.sharding.Mesh: shard the policy phase's row axis
+    #   across this mesh (see "multi-chip" note below)
+    shard_axis: str = "points",
 ) -> MapState:
     """AddPoints with the reference's per-block retention policy.
 
@@ -375,6 +378,24 @@ def insert(
     while_loop bounded by the ACTUAL max points-per-voxel this frame (at
     steady state 2-8, far below the static cap), and all per-round work
     operates on the compacted unique-voxel arrays, not the full point set.
+
+    Multi-chip (mesh != None): the policy phase — the block gathers, the
+    incoming-window gathers, and the Pallas policy kernel — is sharded
+    over the compact ROW axis (U/n rows per device, shard_map around the
+    kernel; GSPMD propagates the row sharding into the surrounding
+    gathers), then the updated blocks all-gather for the replicated
+    write-back. Rows are independent, so the sharded result is EXACTLY
+    the single-device result. This deliberately deviates from a
+    hash-prefix-sharded table (docs/PERF.md round-4 sketch): triangular
+    probing crosses any slot-range partition (h + d(d+1)/2 lands up to
+    66 slots past h), so prefix-local claims can race across shard
+    boundaries — two devices claiming one physical slot for different
+    voxels — while row-sharding the policy work removes the same
+    replicated cost (the dominant insert phase) with no such hazard and
+    no all-to-all. The claim loop (1-2 scatter rounds at steady state)
+    and the O(C) cull stay replicated; see docs/PERF.md for the measured
+    2-chip ceiling. U must divide by 128 * n_devices
+    (parallel/sharding.pad_config_for_mesh enforces this).
     """
     cap = state.capacity
     kmax = state.points_per_voxel
@@ -578,12 +599,46 @@ def insert(
             has_slot, jnp.minimum(seg_len, Rmax), 0
         )[:, None]
         interpret = jax.default_backend() != "tpu"
-        bx, by, bz, bl, cnt2 = pik.apply_policy(
-            compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
-            compact[:, 3, :], ccounts[:, None], seglen_eff, inc, rounds,
-            n_rounds=Rmax, basic=basic_points, rows_per_block=policy_rows,
-            interpret=interpret,
-        )
+        if mesh is not None and shard_axis in mesh.shape:
+            # row-sharded policy: each device runs the kernel on its
+            # U/n-row shard (see the multi-chip note in the docstring)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.shape[shard_axis]
+            Ul = U // n_dev
+            assert U % n_dev == 0 and Ul % 128 == 0, (
+                f"insert_unique_capacity {U} must divide into 128-row "
+                f"tiles across {n_dev} devices "
+                "(parallel.sharding.pad_config_for_mesh)"
+            )
+            pr_local = 256 if Ul % 256 == 0 else 128
+
+            def _policy_local(bx_, by_, bz_, bl_, cnt_, seg_, inc_, r_):
+                return pik.apply_policy(
+                    bx_, by_, bz_, bl_, cnt_, seg_, inc_, r_,
+                    n_rounds=Rmax, basic=basic_points,
+                    rows_per_block=pr_local, interpret=interpret,
+                )
+
+            row = P(shard_axis)
+            bx, by, bz, bl, cnt2 = shard_map(
+                _policy_local, mesh=mesh,
+                in_specs=(row, row, row, row, row, row, row, P()),
+                out_specs=(row, row, row, row, row),
+                check_vma=False,
+            )(
+                compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
+                compact[:, 3, :], ccounts[:, None], seglen_eff, inc,
+                rounds,
+            )
+        else:
+            bx, by, bz, bl, cnt2 = pik.apply_policy(
+                compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
+                compact[:, 3, :], ccounts[:, None], seglen_eff, inc, rounds,
+                n_rounds=Rmax, basic=basic_points,
+                rows_per_block=policy_rows, interpret=interpret,
+            )
         compact = jnp.stack([bx, by, bz, bl], axis=1)
         ccounts = cnt2[:, 0]
         out = _insert_writeback(

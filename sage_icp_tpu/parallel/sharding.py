@@ -44,28 +44,46 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pad_config_for_mesh(config: pl.SageConfig, mesh: Mesh) -> pl.SageConfig:
-    """Capacities must divide evenly across the points axis."""
+    """Capacities must divide evenly across the points axis. The insert's
+    compact row axis additionally needs 128-row kernel tiles PER DEVICE
+    (the row-sharded policy phase, ops/hashmap.insert), and the pipeline
+    clips it to frame_capacity — so both round up to 128*n."""
     n = mesh.shape[POINTS_AXIS]
     return pl.SageConfig(
         **{
             **{f.name: getattr(config, f.name) for f in
                __import__("dataclasses").fields(config)},
             "scan_capacity": _round_up(config.scan_capacity, n),
-            "frame_capacity": _round_up(config.frame_capacity, n),
+            "frame_capacity": _round_up(config.frame_capacity, 128 * n),
             "source_capacity": _round_up(config.source_capacity, n),
+            "insert_unique_capacity": _round_up(
+                config.insert_unique_capacity, 128 * n
+            ),
         }
     )
 
 
-def make_sharded_step(config: pl.SageConfig, mesh: Mesh, donate: bool = True):
+def make_sharded_step(config: pl.SageConfig, mesh: Mesh, donate: bool = True,
+                      shard_insert: bool = True):
     """Compiled SPMD step: scan arrays sharded over the points axis, map
     state replicated; GSPMD partitions the pipeline (psum for the 6x6
-    normal equations, all-gathers around the global downsample sort)."""
+    normal equations, all-gathers around the global downsample sort).
+
+    shard_insert=True (default) additionally row-shards the insert-policy
+    phase — the block/incoming gathers and the Pallas retention kernel
+    run on U/n rows per device instead of replicated (ops/hashmap.insert
+    multi-chip note). False reproduces the round-4 fully-replicated-map
+    step (the scaling harness measures both)."""
+    import os as _os
+
+    if _os.environ.get("SAGE_SHARD_INSERT", "") == "0":
+        shard_insert = False
     repl = NamedSharding(mesh, P())
     shard_pts = NamedSharding(mesh, P(POINTS_AXIS))
 
     state_sharding = jax.tree.map(lambda _: repl, pl.init_state(config))
-    fn = partial(pl.odometry_step, config=config)
+    fn = partial(pl.odometry_step, config=config,
+                 mesh=mesh if shard_insert else None)
     return jax.jit(
         fn,
         in_shardings=(

@@ -37,6 +37,7 @@ def save_state(path: str, odom: SageICP) -> None:
         prev_pose=np.asarray(s.prev_pose),
         first_pose=np.asarray(s.first_pose),
         num_poses=np.asarray(s.num_poses),
+        reject_streak=np.asarray(s.reject_streak),
         thr_deviation=np.asarray(s.threshold.model_deviation),
         thr_sse=np.asarray(s.threshold.sse),
         thr_n=np.asarray(s.threshold.num_samples),
@@ -100,6 +101,10 @@ def load_state(path: str, odom: SageICP) -> SageICP:
             model_deviation=jnp.asarray(z["thr_deviation"]),
             sse=jnp.asarray(z["thr_sse"]),
             num_samples=jnp.asarray(z["thr_n"]),
+        ),
+        # pre-round-5 checkpoints lack the guard streak; 0 = no history
+        reject_streak=jnp.asarray(
+            z["reject_streak"] if "reject_streak" in z else 0, jnp.int32
         ),
     )
     odom.poses = [p for p in z["trajectory"]]

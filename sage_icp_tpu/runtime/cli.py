@@ -44,6 +44,14 @@ def main(argv=None):
                     help="offline-throughput mode: register frames in "
                     "device-side lax.scan chunks of this size")
     ap.add_argument("--no-labels", action="store_true")
+    ap.add_argument("--labels-dir", type=str, default=None,
+                    help="directory of per-scan .label/.npy semantic "
+                    "labels from ANY segmentation model, paired with "
+                    "scans by sorted order — the offline analog of the "
+                    "reference's /sem_points topic (README.md:30-31, "
+                    "sem_odom.launch.py). Overrides dataset GT labels; "
+                    "enables semantic mode for kitti360/kitti_raw which "
+                    "otherwise run label-0")
     ap.add_argument("--deskew", action="store_true",
                     help="constant-velocity motion compensation; per-point "
                     "timestamps come from the dataset or the azimuth-phase "
@@ -81,6 +89,15 @@ def main(argv=None):
 
     odom = make_odometry(args.preset, deskew=args.deskew)
     all_metrics = {}
+    label_dir = None
+    if args.labels_dir:
+        from sage_icp_tpu.datasets.labels import LabelDirectory
+
+        label_dir = LabelDirectory(args.labels_dir)
+
+    def with_labels(scans):
+        return label_dir.wrap(scans) if label_dir is not None else scans
+
     overlay = None
     if args.image_dir:
         from sage_icp_tpu.runtime.overlay import OverlayWriter
@@ -126,7 +143,8 @@ def main(argv=None):
             if overlay is not None:
                 overlay.set_calib(ds.calib)
             res = run_sequence(
-                odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
+                odom, with_labels(iter(ds)), gt_poses=ds.gt_poses,
+                max_frames=args.frames,
                 keyframes=kf, progress=True, seq_name=ds.seq,
                 chunk=args.chunk, overlay=overlay, timed_icp=args.timed_icp,
             )
@@ -143,7 +161,7 @@ def main(argv=None):
             gt = [g for g in gt if g is not None]
         res = run_sequence(
             odom,
-            (ds.read_scan(i) for i in range(len(ds))),
+            with_labels(ds.read_scan(i) for i in range(len(ds))),
             gt_poses=np.stack(gt) if gt else None,
             max_frames=args.frames,
             progress=True,
@@ -167,13 +185,18 @@ def main(argv=None):
         for date, drive in drives:
             ds = KittiRawSequence(args.root, date, drive)
             res = run_sequence(
-                odom, iter(ds), gt_poses=ds.gt_poses, max_frames=args.frames,
+                odom, with_labels(iter(ds)), gt_poses=ds.gt_poses,
+                max_frames=args.frames,
                 progress=True, seq_name=f"{date}_{drive}",
                 chunk=args.chunk, overlay=overlay, timed_icp=args.timed_icp,
             )
             res.save(os.path.join(args.out, f"{date}_{drive}"))
             all_metrics[f"{date}_{drive}"] = res.metrics()
 
+    if label_dir is not None and label_dir.mismatched_frames:
+        print(f"WARNING: {label_dir.mismatched_frames} frames had "
+              "label-length mismatches (padded with label 0) — is the "
+              "labels directory from this sequence?")
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(all_metrics, f, indent=2)

@@ -62,3 +62,51 @@ def test_sharded_capacities_are_divisible():
     padded = sh.pad_config_for_mesh(cfg, mesh)
     assert padded.scan_capacity % 8 == 0
     assert padded.source_capacity % 8 == 0
+
+
+@pytest.mark.slow
+def test_multihost_two_process_agreement(tmp_path):
+    """TRUE multi-process execution (SURVEY section 4 plan): two OS
+    processes, each owning 2 virtual CPU devices, rendezvous through
+    jax.distributed (parallel.sharding.init_distributed) and run the
+    sharded step over a 4-device mesh spanning the process boundary —
+    the collectives (sort exchange, normal-equation psum, insert-policy
+    all-gather) ride the gloo cross-process backend, the CPU stand-in
+    for DCN between TPU hosts. Both processes must produce the same
+    trajectory as the single-process 4-device mesh."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(**__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    coord = "127.0.0.1:47613"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "scripts/multihost_worker.py", str(p), "2",
+             coord, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    p0 = np.load(tmp_path / "poses_0.npy")
+    p1 = np.load(tmp_path / "poses_1.npy")
+    # replicated outputs must agree bit-for-bit across processes
+    np.testing.assert_array_equal(p0, p1)
+    assert p0.shape == (3, 4, 4)
+    assert np.isfinite(p0).all()
+    # and with the single-process 4-device mesh (identical math modulo
+    # f32 reduction order across the gloo boundary)
+    cfg = tiny_config()
+    mesh = sh.make_mesh(n_devices=4)
+    single = sh.ShardedSageICP(cfg, mesh)
+    pts, labs = synthetic.build_world(seed=1, length=60.0)
+    gt = synthetic.make_trajectory(3, step=0.5)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        single.register_frame(
+            synthetic.render_scan(pts, labs, gt[i], rng, n_target=3000)
+        )
+    np.testing.assert_allclose(single.trajectory(), p0, atol=5e-4)

@@ -102,6 +102,31 @@ def test_turn_stop_reverse_trajectory(city):
     assert dd < 0.10, f"moved {dd:.3f} m while stopped"
 
 
+def test_geometric_preset_tracks_city(city):
+    """Geometric KISS-ICP mode (single class group, semantics off —
+    BASELINE.json config #1) must track on the city world. Moved from
+    test_pipeline (round 5): geometric mode's 1.0 m single-group grid
+    yields ~1/3 the ICP sources of semantic mode, below the corridor
+    world's forward-constraint budget under the fresh-sampling renderer
+    (scripts/r5_corridor_bisect.py — the semantic config tracks the same
+    corridor at ATE 0.004)."""
+    cfg = small_config(
+        voxel_labels=(tuple(range(260)),),
+        voxel_size=(1.0,),
+        voxel_size_map=1.0,
+        sem_th=1.0,
+        label_max_range=0.0,
+        basic_points_per_voxel=10,
+        critical_points_per_voxel=0,
+    )
+    gt = synthetic.make_trajectory(8, step=1.0)
+    est, odom = drive(cfg, city, gt)
+    gt_rel = np.linalg.inv(gt[0]) @ gt[7]
+    final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[:3, 3])
+    assert final_err < 0.25, f"final drift {final_err:.3f} m"
+    assert int(odom.aux_totals().overflow_total()) == 0
+
+
 def test_golden_trajectory_regression():
     """Committed golden poses: perf work must not silently move the
     answer. Tolerance is loose enough for cross-platform f32 reduction
@@ -138,13 +163,19 @@ def test_overflow_counters_fire_when_undersized(city):
     cfg2 = small_config(insert_unique_capacity=256,
                         max_incoming_per_voxel=2)
     est2, odom2 = drive(cfg2, city, gt)
-    aux2 = odom2.last_aux
+    # aggregate across the drive: once the starved map collapses the
+    # solve, the health guard REJECTS the frame and masks its insert —
+    # the final frame then reports insert counters of an empty insert
+    # (icp_rejected fires instead). The early healthy frames' overflow
+    # is only visible in the totals (same aggregation the chunked step
+    # applies across its window).
+    aux2 = odom2.aux_totals()
     assert int(aux2.insert_unique_overflow) > 0
     assert int(aux2.overflow_total()) > 0
 
-    # and the healthy config reports zero across the board
+    # and the healthy config reports zero across the board, ALL frames
     est3, odom3 = drive(small_config(), city, gt)
-    assert int(odom3.last_aux.overflow_total()) == 0
+    assert int(odom3.aux_totals().overflow_total()) == 0
 
 
 def test_recovers_from_garbage_scan_mid_sequence(city):
@@ -185,21 +216,26 @@ def test_recovers_from_garbage_scan_mid_sequence(city):
         assert err < 0.25, f"frame {i} did not re-lock: err={err:.3f} m"
 
 
-def test_deskew_reduces_ate_on_distorted_scans():
+def test_deskew_reduces_ate_on_distorted_scans(city):
     """Render mid-pose scans, distort them with the frame's own motion
     (azimuth sweep phase), and check deskew recovers accuracy
-    (reference pipeline/sageICP.cpp:38-51, core/Deskew.cpp:36-50)."""
+    (reference pipeline/sageICP.cpp:38-51, core/Deskew.cpp:36-50).
+
+    Round-5 fixture migration (VERDICT r4 #1b): this test ran on the
+    corridor world through round 3, and at HEAD r4 deskew-ON looked 4.5x
+    WORSE there. Root cause was the FIXTURE, not a deskew bug: at step
+    1.2 / accel 4 even the UNDISTORTED corridor diverges (clean ATE 1.0+
+    by frame 2, scripts/r5_deskew_probe.py) — the fresh-sampling
+    renderer leaves its forward DoF under-constrained, and any per-frame
+    warp error (deskew consumes ESTIMATED deltas) feeds that slip. On
+    the city world the same pipeline deskew cleanly wins at 2.0 m/frame
+    (72 km/h; sweep-edge distortion +-1.0 m): measured off=0.089,
+    on=0.037 ATE."""
     from sage_icp_tpu.datasets.kitti import azimuth_timestamps
     from sage_icp_tpu.ops import geometry as geo
 
-    world = synthetic.build_world(seed=1, length=80.0)
-    # accel over 4 frames keeps the early constant-velocity guesses within
-    # the point-to-point basin on the corridor world (accel_frames=1 made
-    # frame 1 a 1.2 m cold-start recovery — a basin stress test, not a
-    # deskew test); cruise speed stays 1.2 m/frame so the intra-scan
-    # distortion the test is about is unchanged
-    gt = synthetic.make_trajectory(12, step=1.2, accel_frames=4)
-    pts, labs = world
+    gt = synthetic.make_trajectory(12, step=2.0, accel_frames=4)
+    pts, labs = city
     rng = np.random.default_rng(5)
     scans, tss = [], []
     for i in range(len(gt)):
@@ -224,7 +260,7 @@ def test_deskew_reduces_ate_on_distorted_scans():
     assert ate_on < ate_off * 0.7, (
         f"deskew did not help: on={ate_on:.3f} off={ate_off:.3f}"
     )
-    assert ate_on < 0.25, f"deskewed ATE too large: {ate_on:.3f}"
+    assert ate_on < 0.10, f"deskewed ATE too large: {ate_on:.3f}"
 
 
 @pytest.mark.slow
