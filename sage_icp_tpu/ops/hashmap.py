@@ -583,18 +583,27 @@ def insert(
         cls_s = jnp.where(lab_s == 0, 0, jnp.where(is_basic_s, 1, 2))
         pq_all = quantize_points(pts_sorted, vkeys, voxel_size)  # (N, 4)
         enc = (lab_s | (cls_s << pik.CLS_SHIFT)).astype(jnp.int16)
-        pq_enc = jnp.concatenate([pq_all[:, :3], enc[:, None]], axis=-1)
         # each row's incoming points are CONTIGUOUS in the voxel-sorted
-        # array: Rmax cheap rolls build a (N, 4*Rmax) window table and the
-        # whole incoming matrix comes from ONE wide-row gather (192 B
-        # rows, the fast class). A 1-D flat-window lax.gather looks
-        # equivalent but element-serializes (48 ms vs 0.6 ms, docs/PERF);
-        # Rmax separate 8 B row gathers are the slow-row class.
-        # Window wrap-around rows are gated by seglen in the kernel.
-        inc_win = jnp.concatenate(
-            [jnp.roll(pq_enc, -r, axis=0) for r in range(Rmax)], axis=1
-        )  # (N, 4*Rmax)
-        inc = inc_win[jnp.minimum(head_pos, n - 1)]  # (U, 4*Rmax)
+        # array: Rmax cheap rolls build per-COMPONENT (N, Rmax) window
+        # tables and each incoming plane comes from ONE wide-row gather
+        # (96 B rows, the fast class). Planar (rank-major per component)
+        # so the kernel's per-round one-hot spans Rmax lanes, not
+        # 4*Rmax interleaved (round-5: that pick was ~70% of kernel
+        # time). A 1-D flat-window lax.gather looks equivalent but
+        # element-serializes (48 ms vs 0.6 ms, docs/PERF). Window
+        # wrap-around rows are gated by seglen in the kernel.
+        hp_c = jnp.minimum(head_pos, n - 1)
+
+        def inc_plane(comp):
+            win = jnp.concatenate(
+                [jnp.roll(comp, -r)[:, None] for r in range(Rmax)], axis=1
+            )  # (N, Rmax)
+            return win[hp_c]  # (U, Rmax)
+
+        inc_x = inc_plane(pq_all[:, 0])
+        inc_y = inc_plane(pq_all[:, 1])
+        inc_z = inc_plane(pq_all[:, 2])
+        inc_e = inc_plane(enc)
         seglen_eff = jnp.where(
             has_slot, jnp.minimum(seg_len, Rmax), 0
         )[:, None]
@@ -614,9 +623,10 @@ def insert(
             )
             pr_local = 256 if Ul % 256 == 0 else 128
 
-            def _policy_local(bx_, by_, bz_, bl_, cnt_, seg_, inc_, r_):
+            def _policy_local(bx_, by_, bz_, bl_, cnt_, seg_,
+                              ix_, iy_, iz_, ie_, r_):
                 return pik.apply_policy(
-                    bx_, by_, bz_, bl_, cnt_, seg_, inc_, r_,
+                    bx_, by_, bz_, bl_, cnt_, seg_, ix_, iy_, iz_, ie_, r_,
                     n_rounds=Rmax, basic=basic_points,
                     rows_per_block=pr_local, interpret=interpret,
                 )
@@ -624,18 +634,20 @@ def insert(
             row = P(shard_axis)
             bx, by, bz, bl, cnt2 = shard_map(
                 _policy_local, mesh=mesh,
-                in_specs=(row, row, row, row, row, row, row, P()),
+                in_specs=(row,) * 10 + (P(),),
                 out_specs=(row, row, row, row, row),
                 check_vma=False,
             )(
                 compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
-                compact[:, 3, :], ccounts[:, None], seglen_eff, inc,
+                compact[:, 3, :], ccounts[:, None], seglen_eff,
+                inc_x, inc_y, inc_z, inc_e,
                 rounds,
             )
         else:
             bx, by, bz, bl, cnt2 = pik.apply_policy(
                 compact[:, 0, :], compact[:, 1, :], compact[:, 2, :],
-                compact[:, 3, :], ccounts[:, None], seglen_eff, inc, rounds,
+                compact[:, 3, :], ccounts[:, None], seglen_eff,
+                inc_x, inc_y, inc_z, inc_e, rounds,
                 n_rounds=Rmax, basic=basic_points,
                 rows_per_block=policy_rows, interpret=interpret,
             )

@@ -369,3 +369,73 @@ def assemble_normal_equations(sums: jax.Array):
     JTJ = jnp.block([[ul, ur], [ur.T, lr]])
     JTr = jnp.concatenate([wr, wsr])
     return JTJ, JTr, sums[16].astype(jnp.int32), sums[17].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused radius-count kernel (dynamic-vehicle filter, ops/dynamic_filter.py):
+# for each query slot, count candidate points within a radius. The XLA
+# lowering materializes (R, 27, K) f32 temporaries (~200 MB at KITTI
+# vehicle counts); here each grid step streams a (TR, M) candidate tile
+# once and the counting is VMEM-resident VPU work.
+# ---------------------------------------------------------------------------
+
+
+def _count_kernel(smem_ref, cx_ref, cy_ref, cz_ref, q_ref, used_ref,
+                  out_ref, *, n_queries: int, m_valid: int):
+    r2 = smem_ref[0, 0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, cx_ref.shape, 1)
+    lane_ok = iota < m_valid  # Mosaic tile-padding lanes hold garbage
+    cx = cx_ref[:]
+    cy = cy_ref[:]
+    cz = cz_ref[:]
+    outs = []
+    for p in range(n_queries):
+        qx = q_ref[:, 3 * p + 0][:, None]
+        qy = q_ref[:, 3 * p + 1][:, None]
+        qz = q_ref[:, 3 * p + 2][:, None]
+        dx = cx - qx
+        dy = cy - qy
+        dz = cz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        near = lane_ok & (d2 <= r2)  # invalid lanes carry 1e9 coords
+        cnt = jnp.sum(near.astype(jnp.float32), axis=1, keepdims=True)
+        used = used_ref[:, p][:, None].astype(jnp.float32)
+        outs.append(cnt * used)
+    out_ref[:] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_block", "interpret"))
+def radius_count(
+    cx: jax.Array,  # (R, M) f32 candidate coords; invalid lanes >= 1e9
+    cy: jax.Array,
+    cz: jax.Array,
+    queries: jax.Array,  # (R, 3*P) f32 packed [x y z]
+    used: jax.Array,  # (R, P) int32 query-slot validity
+    r2,  # squared radius
+    rows_per_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (R, P) f32: per query slot, the number of candidates in
+    its row within sqrt(r2) (0 for unused slots)."""
+    R, M = cx.shape
+    P = used.shape[1]
+    TR = min(rows_per_block, R)
+    assert R % TR == 0, f"rows {R} not divisible by block {TR}"
+    smem = jnp.asarray(r2, jnp.float32).reshape(1, 1)
+    cand = pl.BlockSpec((TR, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_count_kernel, n_queries=P, m_valid=M),
+        grid=(R // TR,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            cand, cand, cand,
+            pl.BlockSpec((TR, 3 * P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, P), jnp.float32),
+        interpret=interpret,
+    )(smem, cx, cy, cz, queries, used)
