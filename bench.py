@@ -79,15 +79,30 @@ def run_phase(config, world, n_warmup, n_frames, n_points, chunk, label):
     odom.trajectory()
 
     # pre-pad on host (jnp.asarray inside register_chunk uploads each
-    # chunk; explicit jax.device_put staging measured SLOWER through the
-    # axon tunnel, see docs/PERF.md)
+    # chunk; explicit staging of ALL chunks upfront measured SLOWER
+    # through the axon tunnel in round 1, see docs/PERF.md)
     padded = [
         odom.pad_chunk(scans[i : i + chunk])
         for i in range(n_warmup + chunk, n_warmup + chunk + n_frames, chunk)
     ]
+    # double-buffer the host->device uploads (round 5): dispatch chunk
+    # i's compute (async), then push chunk i+1 over the link while the
+    # device works. Through the axon tunnel this measured NO change
+    # (45.5/15.4 vs 45.9/15.6 scans/s — transfers evidently serialize
+    # with compute on the shared remote worker), but on a locally
+    # attached TPU the transfer stream is independent and this hides the
+    # upload entirely. BENCH_OVERLAP=0 reverts to upload-then-dispatch.
+    overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
     t0 = time.perf_counter()
-    for p in padded:
-        odom.register_chunk(p)
+    if overlap and padded:
+        dev = jax.device_put(padded[0])
+        for i in range(len(padded)):
+            odom.register_chunk(dev)  # async dispatch
+            if i + 1 < len(padded):
+                dev = jax.device_put(padded[i + 1])
+    else:
+        for p in padded:
+            odom.register_chunk(p)
     # fetching the final trajectory synchronizes everything, so the wall
     # clock covers every frame end to end
     odom.trajectory()

@@ -145,7 +145,15 @@ class SageConfig:
     # that killed the round-2 bench and the city-world divergence at
     # frame ~20 (ncorr collapsed 4702 -> 0 while nsrc held 15k).
     # Measured demand: scripts/world_occupancy.py. (rows + overflow)
-    # must stay a multiple of 128 (NN kernel tiling).
+    # must stay a multiple of 128 (NN kernel tiling). NOTE (round 5): a
+    # refit to 12288+1024 from the frame-10 steady-state count (9,050
+    # unique source voxels) LOST TRACKING at bench frames 40+ — source
+    # demand grows to ~15k as the drive covers fresh territory; size
+    # from the full-sequence max, not an early-trajectory snapshot.
+    # Every correspondence-phase cost is R-proportional (the (R*27)-row
+    # candidate gather runs at the ~18 GB/s random-row ceiling), so
+    # right-sizing this is worth ~25% of the solve — per DEPLOYMENT,
+    # with the corr_dropped counter as the guard.
     corr_unique_voxel_rows: int = 16_384
     corr_queries_per_voxel: int = 2
     corr_overflow_rows: int = 2048
