@@ -175,8 +175,8 @@ def fused_semantic_nn(
 N_SUMS = 18  # w, w*s(3), w*s_i*s_j(6), w*r(3), w*(s x r)(3), ncorr, used
 
 
-def _gn_kernel(smem_ref, T_ref, cx_ref, cy_ref, cz_ref, cl_ref, ox_ref,
-               oy_ref, oz_ref, q0_ref, org_ref, rabs_ref, used_ref,
+def _gn_kernel(tile_ref, smem_ref, T_ref, cx_ref, cy_ref, cz_ref, cl_ref,
+               ox_ref, oy_ref, oz_ref, q0_ref, org_ref, rabs_ref, used_ref,
                out_ref, *, n_queries: int, m_valid: int):
     sem_th = smem_ref[0, 0]
     scale = smem_ref[0, 1]
@@ -303,6 +303,8 @@ def fused_gn_iteration(
     kernel_th,
     rows_per_block: int = 128,
     interpret: bool = False,
+    tile_map: jax.Array | None = None,  # (R//rows_per_block,) i32: block
+    #   index per tile; dead tiles point at 0 (see redirection note)
 ):
     """One FULLY FUSED Gauss-Newton iteration over the frozen rows.
 
@@ -323,28 +325,44 @@ def fused_gn_iteration(
     ]).reshape(1, 5)
     Tf = T.astype(jnp.float32).reshape(1, 16)
 
-    grid = (R // TR,)
-    cand = pl.BlockSpec((TR, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    off = pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # dead-tile redirection: rows are seated in u_rank order, so live
+    # rows form prefixes and whole trailing tiles are often DEAD (the
+    # grid is sized for worst-case demand). Redirecting a dead tile's
+    # block index to 0 makes its HBM fetch a cheap re-read of block 0;
+    # its contributions are zeroed through `used`, which deliberately
+    # keeps the TRUE tile index (a dead tile's own used flags are all
+    # zero — redirecting `used` too would double-count tile 0). The
+    # per-iteration stream then scales with DEMAND, not grid capacity.
+    n_tiles = R // TR
+    if tile_map is None:
+        tile_map = jnp.arange(n_tiles, dtype=jnp.int32)
+    cand = pl.BlockSpec((TR, M), lambda i, s: (s[i], 0))
+    off = pl.BlockSpec((1, M), lambda i, s: (0, 0))
+    redir = lambda i, s: (s[i], 0)
+    true_i = lambda i, s: (i, 0)
     out = pl.pallas_call(
         functools.partial(_gn_kernel, n_queries=P, m_valid=M),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            cand, cand, cand, cand,
-            off, off, off,
-            pl.BlockSpec((TR, P4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 5), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 16), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM),
+                cand, cand, cand, cand,
+                off, off, off,
+                pl.BlockSpec((TR, P4), redir),
+                pl.BlockSpec((TR, 3), redir),
+                pl.BlockSpec((TR, 3), redir),
+                pl.BlockSpec((TR, P), true_i),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i, s: (0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
-    )(smem, Tf, cx, cy, cz, cl, offx, offy, offz, q0, origin, row_abs, used)
+    )(tile_map, smem, Tf, cx, cy, cz, cl, offx, offy, offz, q0, origin,
+      row_abs, used)
     return out[0, :N_SUMS]
 
 

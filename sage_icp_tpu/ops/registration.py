@@ -247,6 +247,17 @@ def register_frame(
                 q0f = setup.q0.reshape(R, -1)
                 row_abs = setup.row_rel + setup.center[None, :]
                 used_i = setup.grid_used.astype(jnp.int32)
+                # dead-tile map: live rows are u_rank-order prefixes, so
+                # trailing tiles of the worst-case-sized grid are whole-
+                # tile dead; the kernel re-reads block 0 for those
+                # instead of streaming dead candidates (pallas_nn note)
+                n_tiles = R // 128
+                live_tile = jnp.any(
+                    setup.grid_used.reshape(n_tiles, -1), axis=1
+                )
+                tile_map = jnp.where(
+                    live_tile, jnp.arange(n_tiles, dtype=jnp.int32), 0
+                )
                 sums = pnn.fused_gn_iteration(
                     setup.cxp, setup.cyp, setup.czp, setup.clp,
                     offs[None, :, 0], offs[None, :, 1], offs[None, :, 2],
@@ -254,6 +265,7 @@ def register_frame(
                     sem_th, scale, voxel_size,
                     max_correspondence_distance, kernel,
                     interpret=(mode == "interpret"),
+                    tile_map=tile_map,
                 )
                 JTJ, JTr, ncorr, _ = pnn.assemble_normal_equations(sums)
             else:

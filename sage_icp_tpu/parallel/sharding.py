@@ -98,31 +98,11 @@ def make_sharded_step(config: pl.SageConfig, mesh: Mesh, donate: bool = True,
     )
 
 
-def init_distributed(
-    coordinator_address: str | None = None,
-    num_processes: int | None = None,
-    process_id: int | None = None,
-) -> Mesh:
-    """Multi-host entry point: initialize jax.distributed (DCN rendezvous)
-    and return a mesh over ALL devices in the job — the sharded step then
-    runs unchanged, with point-axis collectives riding ICI within a slice
-    and DCN across hosts. With no arguments, JAX picks the coordinator
-    from the cluster environment (TPU pods set this automatically).
-
-    This replaces the reference's only 'distributed' mechanism — ROS2/DDS
-    pub-sub between single-host processes (SURVEY.md section 2.4) — with a
-    true SPMD data plane."""
-    import jax
-
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    jax.distributed.initialize(**kwargs)
-    return make_mesh()
+# Multi-host entry point lives in parallel/distributed.py (import-light:
+# jax.distributed.initialize must run before anything initializes the
+# XLA backend, and importing THIS module does — see that docstring).
+# Re-exported here for single-process callers.
+from sage_icp_tpu.parallel.distributed import init_distributed  # noqa: E402,F401
 
 
 class ShardedSageICP(pl.SageICP):

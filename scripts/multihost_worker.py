@@ -36,13 +36,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
-from sage_icp_tpu.parallel import sharding as sh
+# distributed init FIRST: importing the main package initializes the XLA
+# backend (module-level jnp constants), after which initialize() refuses
+from sage_icp_tpu.parallel.distributed import init_distributed
 
-mesh = sh.init_distributed(
+mesh = init_distributed(
     coordinator_address=coord, num_processes=nproc, process_id=pid
 )
+
+from sage_icp_tpu.parallel import sharding as sh  # noqa: E402
 
 import numpy as np
 import jax.numpy as jnp

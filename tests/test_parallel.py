@@ -79,6 +79,9 @@ def test_multihost_two_process_agreement(tmp_path):
 
     env = dict(**__import__("os").environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the suite's conftest exports 8 virtual devices; each WORKER must
+    # own exactly 2 (the worker sets its own flag only when absent)
+    env.pop("XLA_FLAGS", None)
     coord = "127.0.0.1:47613"
     procs = [
         subprocess.Popen(
