@@ -66,9 +66,12 @@ _LMK_PER_VOXEL = 32  # landmark points stored per cell
 _CC_ITERS = 24  # min-diffusion rounds (cluster diameter bound, cells)
 _VEH_PTS_CAP = 16384  # vehicle-class points per scan (within label range)
 _VEH_ROW_CAP = 4096  # distinct 0.5 m cells holding vehicle points
-_VEH_PER_ROW = 32  # vehicle query slots per cell row (a 0.5 m cell on a
+_VEH_PER_ROW = 48  # vehicle query slots per cell row (a 0.5 m cell on a
 #   dense car face at KITTI point density holds ~10-20 returns; 16 slots
-#   overflowed ~18 points/frame on the density-1.3 bench world)
+#   overflowed ~18 points/frame on the density-1.3 bench world and 32
+#   still clipped a few points on later frames — the overflow counter
+#   rides the bench honesty guard, so the cap carries real margin; the
+#   kernel cost is rows x 27K x P lane-ops, still well under 1 ms at 48)
 _LMK_PTS_CAP = 49152  # landmark-class points per scan
 _GRID_NZ = 32  # z cells: 16 m span around the sensor plane
 
