@@ -1,8 +1,13 @@
-"""Sub-phase profile of the dynamic-vehicle filter at KITTI scale on the
-real TPU — finds which internal structure eats the ~100 ms gap between
-the kitti preset (filter ON) and the city preset (filter OFF).
+"""Sub-phase profile of the ROUND-1 dynamic-vehicle filter (hash-based)
+at KITTI scale on the real TPU — the measurement that motivated the
+round-5 dense-grid rewrite (recorded breakdown in docs/PERF.md: full
+117 ms = compacts 11 + scratch inserts 26 + neighbor lookups 17 + CC
+diffusion 41 + radius test 39). The sub-phase sections below call
+internals that NO LONGER EXIST after the rewrite; only the FULL
+measurement still runs against the current implementation.
 
-    python scripts/profile_dynfilter.py
+    python scripts/profile_dynfilter.py          # full filter only
+    python scripts/profile_dynfilter.py --old    # (historical, broken)
 """
 
 import os
@@ -62,6 +67,11 @@ def main():
 
     full = jax.jit(lambda p, v: dyn.filter_dynamic_vehicles(p, v, cfg))
     timeit("filter_dynamic_vehicles FULL", full, pts, valid)
+
+    import sys as _sys
+
+    if "--old" not in _sys.argv:
+        return  # sub-phases below target the pre-round-5 implementation
 
     labels = pts[:, 3].astype(jnp.int32)
     vehicle_labels = tuple(cfg.voxel_labels[cfg.dynamic_vehicle_voxid])
