@@ -341,3 +341,38 @@ def test_label_directory_adapter(tmp_path):
     wrapped = list(LabelDirectory(str(d)).wrap([scan, scan]))
     np.testing.assert_array_equal(wrapped[0][:, 3], s0[:, 3])
     np.testing.assert_array_equal(wrapped[1][:, 3], s1[:, 3])
+
+
+def test_label_directory_over_raw_reader(tmp_path, rng):
+    """End-to-end reader+adapter integration (the CLI's --labels-dir
+    path): a raw drive that emits label-0 scans gains model-produced
+    semantics when wrapped by a LabelDirectory — the offline equivalent
+    of running the reference's sem_odom launch (network labels) instead
+    of the _gt variant."""
+    from sage_icp_tpu.datasets import kitti_raw
+    from sage_icp_tpu.datasets.labels import LabelDirectory
+
+    drive_dir = tmp_path / "2011_09_26" / "2011_09_26_drive_0002_sync"
+    (drive_dir / "velodyne_points" / "data").mkdir(parents=True)
+    (drive_dir / "oxts" / "data").mkdir(parents=True)
+    labs_dir = tmp_path / "model_labels"
+    labs_dir.mkdir()
+    n = 32
+    for i in range(2):
+        scan = rng.normal(size=(n, 4)).astype(np.float32)
+        scan.tofile(drive_dir / "velodyne_points" / "data" / f"{i:010d}.bin")
+        rec = "49.0 8.43 112.8 0.0 0.0 0.1" + " 0.0" * 24
+        (drive_dir / "oxts" / "data" / f"{i:010d}.txt").write_text(rec)
+        np.save(labs_dir / f"{i:010d}.npy",
+                np.full(n, 40 + i, dtype=np.int32))
+    ds = kitti_raw.KittiRawSequence(
+        str(tmp_path), "2011_09_26", "0002", apply_scan_correction=False
+    )
+    ld = LabelDirectory(str(labs_dir))
+    wrapped = list(ld.wrap(iter(ds)))
+    assert len(wrapped) == 2
+    assert np.all(wrapped[0][:, 3] == 40.0)
+    assert np.all(wrapped[1][:, 3] == 41.0)
+    assert ld.mismatched_frames == 0
+    # xyz untouched
+    np.testing.assert_array_equal(wrapped[0][:, :3], ds.read_scan(0)[:, :3])
